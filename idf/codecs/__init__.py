@@ -1,0 +1,79 @@
+"""Codec registry: decode/encode image bytes by format or magic sniffing.
+
+Mirrors the reference's loader+format-filter behavior
+(/root/reference/src/main/java/core/ImageLoader.java:7-11 throws on
+unsupported formats; /root/reference/src/main/java/app/Commands.java:72-74
+accepts jpg|jpeg|png|bmp). Decode failures raise ``DecodeError`` which the
+hash stage converts into per-row skips, matching Commands.java:81-83.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from idf.codecs import bmp as _bmp
+from idf.codecs import fjpg as _fjpg
+from idf.codecs import png as _png
+from idf.codecs.bmp import decode_bmp, encode_bmp
+from idf.codecs.fjpg import decode_fjpg, encode_fjpg
+from idf.codecs.png import decode_png, encode_png
+
+# Extension set the reference accepts (Commands.java:72-74).
+ACCEPTED_FORMATS = frozenset({"jpg", "jpeg", "png", "bmp"})
+
+
+class DecodeError(ValueError):
+    """Raised when image bytes cannot be decoded (row becomes a skip)."""
+
+
+def sniff(data: bytes) -> str | None:
+    if data[: len(_png.MAGIC)] == _png.MAGIC:
+        return "png"
+    if data[:4] == _fjpg.MAGIC:
+        return "jpg"
+    if data[:2] == _bmp.MAGIC:
+        return "bmp"
+    return None
+
+
+def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
+    """Image bytes -> RGB uint8 (H, W, 3). Sniffs magic; ``fmt`` is advisory."""
+    kind = sniff(bytes(data[:8]) if not isinstance(data, bytes) else data[:8])
+    if kind is None:
+        raise DecodeError(f"unrecognized image bytes (declared fmt={fmt!r})")
+    try:
+        if kind == "png":
+            return decode_png(data)
+        if kind == "bmp":
+            return decode_bmp(data)
+        return decode_fjpg(data)
+    except DecodeError:
+        raise
+    except Exception as exc:  # corrupt payload after a valid magic
+        raise DecodeError(f"decode failed ({kind}): {exc}") from exc
+
+
+def encode(img: np.ndarray, fmt: str, quality: int = 90) -> bytes:
+    f = fmt.lower()
+    if f == "png":
+        return encode_png(img)
+    if f == "bmp":
+        return encode_bmp(img)
+    if f in ("jpg", "jpeg"):
+        return encode_fjpg(img, quality=quality)
+    raise ValueError(f"unsupported encode format {fmt!r}")
+
+
+__all__ = [
+    "ACCEPTED_FORMATS",
+    "DecodeError",
+    "decode",
+    "encode",
+    "sniff",
+    "decode_png",
+    "encode_png",
+    "decode_bmp",
+    "encode_bmp",
+    "decode_fjpg",
+    "encode_fjpg",
+]

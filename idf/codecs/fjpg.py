@@ -1,0 +1,150 @@
+"""FJPG — deterministic lossy codec used as the in-sandbox JPEG stand-in.
+
+** STAND-IN, clearly marked per task rules. ** This container ships no
+image libraries (no PIL / libjpeg / cv2), so rows whose ``fmt`` is
+``jpg``/``jpeg`` carry FJPG bytes instead of real JFIF. FJPG reproduces
+the *lossy characteristics* that matter to a perceptual-hash dedup
+pipeline — YCbCr transform, 8x8 block DCT, quality-scaled quantization
+with the standard JPEG tables — so near-duplicate variants degrade the
+way real JPEG re-encodes do (quality 90 ~= tiny Hamming perturbation,
+quality 30 ~= a larger one), and PSNR-vs-source is a meaningful
+fidelity metric (BASELINE.json input_hint: PSNR >= 40 dB for lossy).
+It is NOT wire-compatible with JFIF: entropy coding is zlib over the
+quantized coefficients instead of Huffman.
+
+Layout: b"FJPG" | version:u8 | quality:u8 | h:u16 | w:u16 | zlib(int16 coeffs,
+channels Y,Cb,Cr each padded to 8x8 blocks, block-major order).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"FJPG"
+_VERSION = 1
+
+# Standard JPEG Annex K quantization tables (public spec).
+_QY = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+_QC = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _dct_matrix(n: int = 8) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    d = np.cos((2 * x + 1) * k * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] = np.sqrt(1.0 / n)
+    return d
+
+
+_D8 = _dct_matrix(8)
+
+
+def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    # libjpeg quality scaling (public behavior).
+    q = min(100, max(1, int(quality)))
+    s = 5000 / q if q < 50 else 200 - 2 * q
+    qy = np.clip(np.floor((_QY * s + 50) / 100), 1, 255)
+    qc = np.clip(np.floor((_QC * s + 50) / 100), 1, 255)
+    return qy, qc
+
+
+def _to_blocks(ch: np.ndarray) -> np.ndarray:
+    h, w = ch.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        ch = np.pad(ch, ((0, ph), (0, pw)), mode="edge")
+    hb, wb = ch.shape[0] // 8, ch.shape[1] // 8
+    return ch.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+    full = blocks.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+    return full[:h, :w]
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def encode_fjpg(img: np.ndarray, quality: int = 90) -> bytes:
+    """RGB uint8 (H, W, 3) -> FJPG bytes at the given quality (1..100)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_fjpg expects (H, W, 3) uint8")
+    h, w, _ = img.shape
+    if h > 65535 or w > 65535:
+        raise ValueError("FJPG dims must fit u16")
+    qy, qc = _quant_tables(quality)
+    ycc = _rgb_to_ycbcr(img.astype(np.float64)) - 128.0
+    parts = []
+    for ci in range(3):
+        blocks = _to_blocks(ycc[..., ci])
+        coeffs = np.einsum("ij,njk,lk->nil", _D8, blocks, _D8)
+        q = qy if ci == 0 else qc
+        quant = np.round(coeffs / q).astype(np.int16)
+        parts.append(quant.tobytes())
+    payload = zlib.compress(b"".join(parts), 6)
+    head = MAGIC + struct.pack("<BBHH", _VERSION, min(100, max(1, int(quality))), h, w)
+    return head + payload
+
+
+def decode_fjpg(data: bytes) -> np.ndarray:
+    """FJPG bytes -> RGB uint8 (H, W, 3)."""
+    if data[:4] != MAGIC:
+        raise ValueError("not FJPG")
+    version, quality, h, w = struct.unpack_from("<BBHH", data, 4)
+    if version != _VERSION:
+        raise ValueError(f"FJPG version {version} unsupported")
+    qy, qc = _quant_tables(quality)
+    raw = np.frombuffer(zlib.decompress(data[10:]), dtype=np.int16)
+    nb = ((h + 7) // 8) * ((w + 7) // 8)
+    if raw.size != nb * 64 * 3:
+        raise ValueError("FJPG payload size mismatch")
+    raw = raw.reshape(3, nb, 8, 8).astype(np.float64)
+    chans = []
+    for ci in range(3):
+        q = qy if ci == 0 else qc
+        blocks = np.einsum("ji,njk,kl->nil", _D8, raw[ci] * q, _D8)
+        chans.append(_from_blocks(blocks, h, w))
+    ycc = np.stack(chans, axis=-1) + 128.0
+    rgb = _ycbcr_to_rgb(ycc)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
