@@ -1,0 +1,270 @@
+"""Deterministic synthetic images+captions corpus (no external data).
+
+Generates the BASELINE.json ``input_hint`` table
+``(image_id, bytes, w, h, fmt, caption, phash)`` with duplicate families
+mirroring the reference fixture corpus (/root/reference/fixtures/: base
+image + light/heavy re-encode, PNG re-encode, hue shift, watermark,
+rotation, downscale, exact duplicate, unrelated controls, flat/solid
+skew probes, corrupt rows, non-image formats) — see FIXTURES.md §2.
+
+Everything is seeded; the same (seed, n_families) always produces
+byte-identical tables. Tables are written as Parquet (the `lance` wheel
+is not available in this container — documented fallback per SURVEY §7;
+the schema and layout are Lance-compatible).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from idf.codecs import decode, encode
+from idf.kernels import hash_image
+
+SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),  # uint64 bit-cast (Long.toUnsignedString analog)
+    ]
+)
+
+_VOCAB = (
+    "amber bottle cat cloud copper dusk ember field glass harbor lantern "
+    "meadow north ocean pepper quartz river stone summer timber valley "
+    "willow winter yellow zephyr drink market garden bridge castle"
+).split()
+
+_VARIANTS = ("q90", "q30", "png", "hue", "wm", "small", "dup", "rot")
+
+
+def u64_to_i64(h) -> np.ndarray | int:
+    """Store unsigned 64-bit hashes bit-exactly in Arrow int64."""
+    a = np.asarray(h, dtype=np.uint64).view(np.int64)
+    return int(a) if a.ndim == 0 else a
+
+
+def i64_to_u64(h) -> np.ndarray | int:
+    a = np.asarray(h, dtype=np.int64).view(np.uint64)
+    return int(a) if a.ndim == 0 else a
+
+
+def _base_image(rng: np.random.Generator) -> np.ndarray:
+    """Procedural smooth RGB image: sinusoid gradients + gaussian blobs."""
+    h = int(rng.integers(192, 321))
+    w = int(rng.integers(192, 321))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        base = rng.uniform(40, 200)
+        img[..., c] = base
+        for _ in range(int(rng.integers(1, 4))):
+            fx, fy = rng.uniform(0.5, 3.0, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(10, 60)
+            img[..., c] += amp * np.sin(2 * np.pi * (fx * xx / w + fy * yy / h) + ph)
+    for _ in range(int(rng.integers(2, 6))):
+        cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+        sig = rng.uniform(10, min(h, w) / 3)
+        color = rng.uniform(-80, 80, 3)
+        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig**2)))
+        img += blob[..., None] * color[None, None, :]
+    img += rng.normal(0, 2.0, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _hue_shift(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Luma-preserving hue rotation (YIQ chroma rotation) — pHash-friendly."""
+    theta = rng.uniform(0.5, 2.5)
+    t = np.array([[0.299, 0.587, 0.114], [0.596, -0.274, -0.322], [0.211, -0.523, 0.312]])
+    c, s = np.cos(theta), np.sin(theta)
+    rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    m = np.linalg.inv(t) @ rot @ t
+    out = img.astype(np.float64) @ m.T
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _watermark(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    out = img.astype(np.float64).copy()
+    h, w, _ = img.shape
+    for _ in range(int(rng.integers(2, 5))):
+        bw = int(rng.integers(w // 12, w // 6))
+        bh = int(rng.integers(h // 12, h // 6))
+        x0 = int(rng.integers(0, w - bw))
+        y0 = int(rng.integers(0, h - bh))
+        color = rng.uniform(0, 255, 3)
+        out[y0 : y0 + bh, x0 : x0 + bw] = 0.5 * out[y0 : y0 + bh, x0 : x0 + bw] + 0.5 * color
+    y = int(rng.integers(h // 4, 3 * h // 4))
+    out[y : y + 2, :] = 0.4 * out[y : y + 2, :] + 0.6 * (255 - out[y : y + 2, :])
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _downscale(img: np.ndarray) -> np.ndarray:
+    from idf.kernels.preprocess import bilinear_resize
+
+    h, w, _ = img.shape
+    oh, ow = max(8, h // 2), max(8, w // 2)
+    chans = [bilinear_resize(img[..., c], oh, ow) for c in range(3)]
+    return np.clip(np.round(np.stack(chans, axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _caption(rng: np.random.Generator) -> str:
+    n = int(rng.integers(6, 13))
+    return " ".join(rng.choice(_VOCAB, size=n))
+
+
+def _perturb_caption(cap: str, rng: np.random.Generator) -> str:
+    words = cap.split()
+    for _ in range(int(rng.integers(0, 3))):
+        i = int(rng.integers(0, len(words)))
+        words[i] = str(rng.choice(_VOCAB))
+    return " ".join(words)
+
+
+def _row(image_id: str, data: bytes, fmt: str, caption: str) -> dict:
+    try:
+        img = decode(data)
+        ph = u64_to_i64(hash_image(img, "phash"))
+        h, w = img.shape[:2]
+    except Exception:
+        ph, h, w = 0, -1, -1
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": int(w),
+        "h": int(h),
+        "fmt": fmt,
+        "caption": caption,
+        "phash": ph,
+    }
+
+
+def generate_family(family_idx: int, seed: int = 42) -> list[dict]:
+    """All rows of one duplicate family. Pure + deterministic per (idx, seed)."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, family_idx]))
+    fid = f"img-{family_idx:05d}"
+    kind = rng.uniform()
+    rows: list[dict] = []
+
+    if kind < 0.04:  # corrupt rows (decode-skip probe, FIXTURES §2)
+        junk = bytes(rng.integers(0, 256, int(rng.integers(64, 512)), dtype=np.uint8))
+        rows.append(_row(f"{fid}-corrupt", b"\x89PNG\r\n\x1a\n" + junk, "png", _caption(rng)))
+        return rows
+    if kind < 0.08:  # non-image formats the engine must filter out
+        cap = _caption(rng)
+        rows.append(_row(f"{fid}-txt", cap.encode(), "txt", cap))
+        rows.append(_row(f"{fid}-gif", b"GIF89a" + bytes(16), "gif", cap))
+        return rows
+    if kind < 0.14:  # flat/solid family — LSH skew probe (true-grayscale analog)
+        val = int(rng.integers(0, 256))
+        cap = _caption(rng)
+        for j in range(int(rng.integers(2, 5))):
+            size = int(rng.integers(64, 257))
+            img = np.full((size, size, 3), val, dtype=np.uint8)
+            rows.append(_row(f"{fid}-flat{j}", encode(img, "png"), "png", cap))
+        return rows
+
+    base = _base_image(rng)
+    cap = _caption(rng)
+    base_bytes = encode(base, "jpg", quality=95)
+    rows.append(_row(f"{fid}-base", base_bytes, "jpg", cap))
+
+    if kind < 0.30:  # unrelated control (cat.jpg analog): singleton family
+        return rows
+
+    n_var = int(rng.integers(2, 7))
+    chosen = rng.choice(len(_VARIANTS), size=n_var, replace=False)
+    for vi in sorted(chosen):
+        v = _VARIANTS[vi]
+        vcap = _perturb_caption(cap, rng) if rng.uniform() < 0.5 else cap
+        if v == "q90":
+            rows.append(_row(f"{fid}-q90", encode(base, "jpg", quality=90), "jpg", vcap))
+        elif v == "q30":
+            rows.append(_row(f"{fid}-q30", encode(base, "jpeg", quality=30), "jpeg", vcap))
+        elif v == "png":
+            rows.append(_row(f"{fid}-png", encode(base, "png"), "png", cap))
+        elif v == "hue":
+            rows.append(_row(f"{fid}-hue", encode(_hue_shift(base, rng), "jpg", 92), "jpg", vcap))
+        elif v == "wm":
+            rows.append(_row(f"{fid}-wm", encode(_watermark(base, rng), "jpg", 92), "jpg", vcap))
+        elif v == "small":
+            rows.append(_row(f"{fid}-small", encode(_downscale(base), "png"), "png", vcap))
+        elif v == "dup":
+            rows.append(_row(f"{fid}-dup", base_bytes, "jpg", cap))
+        elif v == "rot":  # rotation is NOT hash-invariant -> expected separate cluster
+            rows.append(
+                _row(f"{fid}-rot", encode(np.ascontiguousarray(np.rot90(base)), "png"), "png", vcap)
+            )
+    return rows
+
+
+def generate_images_table(n_families: int, seed: int = 42) -> pa.Table:
+    rows: list[dict] = []
+    for i in range(n_families):
+        rows.extend(generate_family(i, seed))
+    return pa.Table.from_pylist(rows, schema=SCHEMA)
+
+
+def write_images_table(table: pa.Table, path: str) -> None:
+    pq.write_table(table, path)
+
+
+def families_for_sf(sf: float) -> int:
+    """~5 rows/family; targets ~100/1k/10k images at sf 0.001/0.01/0.1."""
+    return max(8, int(round(20_000 * sf)))
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    if name.startswith("sf"):
+        try:
+            return float(name[2:])
+        except ValueError:
+            pass
+    return 0.001
+
+
+def ensure_images_cache(sf_dir: str, seed: int = 42, cache_root: str = "/tmp/idf_cache") -> str:
+    """Deterministically generate (once) the images table for an sf dir.
+
+    Generation itself runs as a Ray Data pipeline (one task per family
+    batch) so the big bench corpus is produced in parallel; output is a
+    partitioned Parquet directory (resumable layout: regenerate-once,
+    marker-committed).
+    """
+    sf = sf_from_dir(sf_dir)
+    out = os.path.join(cache_root, f"images_sf{sf}")
+    marker = out + ".done"
+    if os.path.exists(marker):
+        return out
+    os.makedirs(cache_root, exist_ok=True)
+    n_fam = families_for_sf(sf)
+    if n_fam <= 64:  # small: generate inline, single file
+        os.makedirs(out, exist_ok=True)
+        write_images_table(generate_images_table(n_fam, seed), os.path.join(out, "part-0.parquet"))
+    else:
+        import ray.data as rd
+
+        def gen_batch(batch: dict) -> pa.Table:
+            rows: list[dict] = []
+            for fam in batch["id"].tolist():
+                rows.extend(generate_family(int(fam), seed))
+            return pa.Table.from_pylist(rows, schema=SCHEMA)
+
+        tmp = out + ".tmp"
+        (
+            rd.range(n_fam, override_num_blocks=max(8, n_fam // 32))
+            .map_batches(gen_batch, batch_format="numpy", batch_size=32)
+            .write_parquet(tmp)
+        )
+        os.replace(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
