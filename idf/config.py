@@ -1,0 +1,64 @@
+"""Pipeline configuration."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Knobs of the near-duplicate pipeline.
+
+    Defaults mirror the reference CLI: algo phash (app/Commands.java:49),
+    radius 10 (Commands.java:121 default), web threshold 0.95 == radius 3
+    via ``radius = round((1 - threshold) * 64)`` (Commands.java:406-409).
+    """
+
+    algo: str = "phash"  # ahash | dhash | phash
+    radius: int = 10  # inclusive Hamming radius (BKTreeIndex.java:43)
+    # pigeonhole banding: m segments of 64/m bits (SURVEY §2.5 J1)
+    n_segments: int = 4
+    # caption MinHash-LSH (axis B, SURVEY §2.5 J2)
+    caption_lsh: bool = True
+    minhash_k: int = 64
+    minhash_bands: int = 16  # 16 bands x 4 rows
+    shingle_k: int = 3  # word shingles per caption
+    # skew control: buckets larger than this are processed in chunked
+    # pair-emit passes (exact, never truncated) and reported in metrics
+    bucket_cap: int = 4096
+    # connected components: 'driver' union-find | 'labelprop' | 'auto'
+    cc_mode: str = "auto"
+    cc_driver_max_edges: int = 5_000_000
+    # decode stage actor pool
+    decode_batch_size: int = 32
+    decode_concurrency: int | None = None  # None -> size from cluster CPUs
+    seed: int = 42
+
+    def band_rows(self) -> int:
+        assert self.minhash_k % self.minhash_bands == 0
+        return self.minhash_k // self.minhash_bands
+
+    def segment_bits(self) -> int:
+        assert 64 % self.n_segments == 0
+        return 64 // self.n_segments
+
+    def expansion_radius(self) -> int:
+        """Per-side bit-flip expansion e = ceil(floor(r/m) / 2).
+
+        Pigeonhole: hamming(a, b) <= r over m segments => some segment
+        differs by q <= floor(r/m). If both sides emit all keys within e
+        bit-flips of their segment value, they share a key iff the
+        segment distance is <= 2e; 2*ceil(q/2) >= q, so recall is 1.0 by
+        construction (SURVEY §2.5 J1).
+        """
+        q = self.radius // self.n_segments
+        return (q + 1) // 2
+
+
+@dataclass
+class RuntimeConfig:
+    """Per-run execution knobs (not part of the logical query)."""
+
+    run_dir: str = "/tmp/idf_run"
+    resume: bool = True
+    extra: dict = field(default_factory=dict)

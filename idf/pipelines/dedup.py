@@ -1,0 +1,173 @@
+"""End-to-end near-duplicate pipeline (the flagship).
+
+Ray-Data shape (SURVEY §3, re-expressed):
+
+  read_parquet(images, pruned columns)
+    -> map_batches(DecodeHasher actor pool)           [hashes]
+    -> map_batches(local exact collapse, no shuffle)  [collapse_local]
+    -> groupby(phash) over batch-distinct rows        [collapse_global]
+    -> flat key expansion -> groupby(segment key)     [edges_band]
+    (+ caption MinHash-LSH groupby)                   [edges_caption]
+    -> connected components                           [clusters]
+    -> hash join w/ meta -> groupby(cluster).elect    [plan]
+    -> two semi-join writes                           [apply]
+
+Every stage commits a partitioned Parquet directory through the run
+manifest (atomic rename + per-partition lineage + metrics); a rerun
+resumes after the last committed stage. The ``bytes`` column never
+crosses a shuffle: it is read only by the hash stage and the apply
+writes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from idf.config import DedupConfig
+from idf.stages.apply import apply_stage
+from idf.stages.candidates import (
+    KIND_DISTINCT,
+    KIND_EDGE,
+    band_edges,
+    caption_edges,
+    global_collapse,
+    local_collapse_batch,
+)
+from idf.stages.cc import connected_components
+from idf.stages.hash_stage import hash_stage, read_images
+from idf.stages.plan import plan_stage
+from idf.state.manifest import RunManifest
+
+
+def _read(path: str, **kw) -> rd.Dataset:
+    return rd.read_parquet(path, **kw)
+
+
+def _edges_norm(ds: rd.Dataset, dist_from_kind: bool = False) -> rd.Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "dist": pa.array(np.zeros(len(t), dtype=np.int32))
+                if dist_from_kind
+                else t["dist"],
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def run_dedup(
+    images_path: str,
+    run_dir: str,
+    cfg: DedupConfig | None = None,
+    resume: bool = True,
+    do_apply: bool = True,
+) -> RunManifest:
+    cfg = cfg or DedupConfig()
+    man = RunManifest(run_dir, resume=resume)
+
+    # 1. decode + hash (only needed columns leave storage; bytes dropped here)
+    hashes_dir = man.run_stage(
+        "hashes",
+        lambda: hash_stage(
+            read_images(images_path, columns=["image_id", "bytes", "fmt", "caption"]), cfg
+        ),
+    )
+    ok_filter = pads.field("status") == "ok"
+
+    # skip/ok counters -> manifest metrics (the reference's stderr skips, M9)
+    cdf = _read(hashes_dir, columns=["status"]).groupby("status").count().to_pandas()
+    cnt_col = next(c for c in cdf.columns if c != "status")
+    man.record_metrics(
+        "hashes", {"status_counts": {s: int(n) for s, n in zip(cdf["status"], cdf[cnt_col])}}
+    )
+
+    # 2. exact-hash collapse: local combiner (no shuffle) ...
+    local_dir = man.run_stage(
+        "collapse_local",
+        lambda: _read(hashes_dir, columns=["image_id", "phash", "status"], filter=ok_filter)
+        .drop_columns(["status"])
+        .map_batches(local_collapse_batch, batch_format="pyarrow", zero_copy_batch=True),
+    )
+    # ... then the global groupby over batch-distinct rows only
+    collapsed_dir = man.run_stage(
+        "collapse_global",
+        lambda: global_collapse(
+            _read(local_dir, filter=pads.field("kind") == KIND_DISTINCT).map_batches(
+                lambda t: t.select(["id_a", "phash"]), batch_format="pyarrow"
+            )
+        ),
+    )
+
+    # 3a. dist-0 edges from both collapse levels
+    man.run_stage(
+        "edges_exact",
+        lambda: _edges_norm(
+            _read(local_dir, filter=pads.field("kind") == KIND_EDGE).union(
+                _read(collapsed_dir, filter=pads.field("kind") == KIND_EDGE)
+            ),
+            dist_from_kind=True,
+        ),
+    )
+    # 3b. pigeonhole banding over globally distinct hashes
+    man.run_stage(
+        "edges_band",
+        lambda: band_edges(
+            _read(collapsed_dir, filter=pads.field("kind") == KIND_DISTINCT), cfg
+        ),
+    )
+    # 3c. caption MinHash-LSH candidates (verified by the phash predicate)
+    if cfg.caption_lsh:
+        man.run_stage(
+            "edges_caption",
+            lambda: caption_edges(
+                _read(
+                    hashes_dir, columns=["image_id", "phash", "caption", "status"], filter=ok_filter
+                ).drop_columns(["status"]),
+                cfg,
+            ),
+        )
+
+    # 4. connected components -> clusters (singletons fall out naturally:
+    #    only edge-participating nodes appear; Commands.java:149-151 analog)
+    edge_dirs = [man.stage_dir("edges_exact"), man.stage_dir("edges_band")]
+    if cfg.caption_lsh:
+        edge_dirs.append(man.stage_dir("edges_caption"))
+
+    def _build_clusters() -> rd.Dataset:
+        edges = _read(edge_dirs[0])
+        for d in edge_dirs[1:]:
+            edges = edges.union(_read(d))
+        return connected_components(edges, cfg)
+
+    clusters_dir = man.run_stage("clusters", _build_clusters)
+
+    # 5. keeper election
+    man.run_stage(
+        "plan",
+        lambda: plan_stage(
+            _read(clusters_dir),
+            _read(hashes_dir, columns=["image_id", "pixels", "size"]),
+        ),
+    )
+
+    # 6. apply: keepers/quarantine partition of the input images
+    if do_apply:
+        plan_ds = _read(man.stage_dir("plan"))
+        images = read_images(images_path)
+        kept, quarantined = apply_stage(images, plan_ds)
+        man.run_stage("apply_keep", lambda: kept)
+        man.run_stage("apply_quarantine", lambda: quarantined)
+    return man
+
+
+def read_stage(run_dir: str, name: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(run_dir, name))

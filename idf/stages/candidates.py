@@ -1,0 +1,260 @@
+"""Candidate-edge generation — the wide step that replaces the
+reference's all-pairs BK-tree scan (X1/X2, index/BKTreeIndex.java) with
+shuffle-based generation (SURVEY §2.5 J1/J2).
+
+Three streaming sub-pipelines, each emitting verified edge rows
+``(id_a, id_b, dist)`` with ``id_a < id_b`` and
+``hamming(phash_a, phash_b) <= radius`` exact (the X2 predicate,
+inclusive radius per BKTreeIndex.java:43):
+
+1. exact-duplicate collapse (skew control + dist-0 edges):
+   a per-batch combiner dedupes identical hashes locally and emits
+   local star edges WITHOUT a shuffle; only batch-distinct
+   (hash, local_rep) rows enter the global ``groupby(phash)``, which
+   emits the global distinct-hash table plus rep->local_rep link
+   edges. Identical-hash floods (flat images — the reference's
+   true-grayscale fixture family) therefore never concentrate in one
+   shuffle partition: that is the explicit skew/salting story required
+   by the north rule, with per-stage counts recorded in the manifest.
+2. pigeonhole banding over DISTINCT hashes: each hash emits, per
+   16-bit segment, every segment key within ``e = ceil(floor(r/m)/2)``
+   bit flips; two hashes within Hamming r share >= 1 key (proof in
+   DedupConfig.expansion_radius). groupby(key) buckets then pair-emit
+   with exact verification. Recall 1.0 by construction.
+3. caption MinHash-LSH (axis B): band-key buckets over caption
+   shingles; pairs verified with the same phash predicate.
+
+Oversized buckets are processed in bounded chunks (exact, never
+truncated).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from idf.config import DedupConfig
+from idf.kernels.hamming import popcount64
+from idf.kernels.minhash import MinHasher, band_keys, shingle_hashes
+
+EDGE_SCHEMA = pa.schema([("id_a", pa.string()), ("id_b", pa.string()), ("dist", pa.int32())])
+COLLAPSE_SCHEMA = pa.schema(
+    [("id_a", pa.string()), ("id_b", pa.string()), ("phash", pa.int64()), ("kind", pa.int8())]
+)
+KIND_DISTINCT, KIND_EDGE = 0, 1
+
+
+# ---------------------------------------------------------------------------
+# 1. exact-hash collapse
+
+
+def local_collapse_batch(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: one rep per distinct phash in the batch.
+
+    Emits (rep, rep, phash, KIND_DISTINCT) + (rep, member, phash,
+    KIND_EDGE) star edges. No shuffle happens here; downstream only
+    groups the KIND_DISTINCT rows.
+    """
+    df = pd.DataFrame(
+        {
+            "image_id": t["image_id"].to_pylist(),
+            "phash": t["phash"].to_numpy(zero_copy_only=False),
+        }
+    ).sort_values(["phash", "image_id"], kind="mergesort")
+    ids = df["image_id"].to_numpy(dtype=object)
+    hashes = df["phash"].to_numpy()
+    first = np.ones(len(ids), dtype=bool)
+    first[1:] = hashes[1:] != hashes[:-1]
+    group_idx = np.cumsum(first) - 1
+    reps = ids[first][group_idx]  # per-row local rep (min id per hash)
+    kind = np.where(first, KIND_DISTINCT, KIND_EDGE).astype(np.int8)
+    return pa.table(
+        {
+            "id_a": pa.array(reps, pa.string()),
+            "id_b": pa.array(ids, pa.string()),
+            "phash": pa.array(hashes, pa.int64()),
+            "kind": pa.array(kind),
+        }
+    )
+
+
+def global_collapse(local_distinct: rd.Dataset) -> rd.Dataset:
+    """groupby(phash) over batch-distinct rows -> global rep + link edges."""
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        reps = sorted(g["id_a"])
+        rep = reps[0]
+        rows = [(rep, rep, g["phash"].iloc[0], KIND_DISTINCT)]
+        rows += [(rep, r, g["phash"].iloc[0], KIND_EDGE) for r in reps[1:]]
+        out = pd.DataFrame(rows, columns=["id_a", "id_b", "phash", "kind"])
+        return out.astype({"kind": np.int8})
+
+    return local_distinct.groupby("phash").map_groups(_merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# 2. pigeonhole banding over distinct hashes
+
+
+def _expansion_masks(seg_bits: int, e: int) -> np.ndarray:
+    """All uint64 masks with popcount <= e over seg_bits bits."""
+    masks = [0]
+    if e >= 1:
+        masks += [1 << i for i in range(seg_bits)]
+    if e >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(seg_bits) for j in range(i + 1, seg_bits)]
+    if e >= 3:
+        raise NotImplementedError("expansion radius > 2 (i.e. Hamming radius > 19 at m=4)")
+    return np.array(masks, dtype=np.uint64)
+
+
+class BandExpander:
+    """map_batches UDF: distinct (image_id, phash) -> (key, image_id, phash)
+    expansion rows; key packs (segment_idx, segment_bits-after-flip)."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.m = cfg.n_segments
+        self.seg_bits = cfg.segment_bits()
+        self.masks = _expansion_masks(self.seg_bits, cfg.expansion_radius())
+        self.seg_mask = np.uint64((1 << self.seg_bits) - 1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["id_a"].to_numpy(zero_copy_only=False)
+        h = t["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n, nm = len(ids), len(self.masks)
+        keys = np.empty((n, self.m, nm), dtype=np.int64)
+        for s in range(self.m):
+            seg = (h >> np.uint64(s * self.seg_bits)) & self.seg_mask
+            flipped = seg[:, None] ^ self.masks[None, :]
+            keys[:, s, :] = (np.int64(s) << np.int64(self.seg_bits)) | flipped.astype(np.int64)
+        rep_ids = np.repeat(ids, self.m * nm)
+        rep_hash = np.repeat(h.view(np.int64), self.m * nm)
+        return pa.table(
+            {
+                "key": pa.array(keys.reshape(-1)),
+                "image_id": pa.array(rep_ids, pa.string()),
+                "phash": pa.array(rep_hash, pa.int64()),
+            }
+        )
+
+
+def _emit_pairs(
+    ids: np.ndarray, hashes_u64: np.ndarray, radius: int, cap: int
+) -> pd.DataFrame:
+    """Exact chunked pairwise verify inside one bucket; ids assumed
+    distinct-hash representatives. Never truncates: oversized buckets
+    just run in more chunks."""
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype=object),
+            "id_b": pd.Series([], dtype=object),
+            "dist": pd.Series([], dtype=np.int32),
+        }
+    )
+    k = len(ids)
+    if k < 2:
+        return empty
+    order = np.argsort(ids, kind="stable")
+    ids, hashes_u64 = ids[order], hashes_u64[order]
+    chunk = max(1, min(k, max(64, cap * cap // max(k, 1))))
+    out_a, out_b, out_d = [], [], []
+    for i0 in range(0, k, chunk):
+        i1 = min(k, i0 + chunk)
+        xor = hashes_u64[i0:i1, None] ^ hashes_u64[None, :]
+        d = popcount64(xor)
+        ii, jj = np.nonzero(d <= radius)
+        keep = (ii + i0) < jj  # upper triangle only -> id_a < id_b by sort
+        ii, jj = ii[keep], jj[keep]
+        out_a.append(ids[ii + i0])
+        out_b.append(ids[jj])
+        out_d.append(d[ii, jj])
+    a = np.concatenate(out_a)
+    if len(a) == 0:
+        return empty
+    return pd.DataFrame(
+        {
+            "id_a": a,
+            "id_b": np.concatenate(out_b),
+            "dist": np.concatenate(out_d).astype(np.int32),
+        }
+    )
+
+
+def band_edges(distinct: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    """Distinct-hash table -> verified candidate edges via banding."""
+    expanded = distinct.map_batches(
+        BandExpander,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, _cpus()),
+    )
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["image_id"].to_numpy(dtype=object)
+        h = g["phash"].to_numpy(dtype=np.int64).view(np.uint64)
+        return _emit_pairs(ids, h, cfg.radius, cfg.bucket_cap)
+
+    return expanded.groupby("key").map_groups(_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# 3. caption MinHash-LSH
+
+
+class CaptionBander:
+    def __init__(self, cfg: DedupConfig):
+        self.hasher = MinHasher(cfg.minhash_k, cfg.seed)
+        self.bands = cfg.minhash_bands
+        self.shingle_k = cfg.shingle_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        caps = ["" if c is None else c for c in t["caption"].to_pylist()]
+        sigs = self.hasher.signatures(caps, self.shingle_k)
+        keys = band_keys(sigs, self.bands)
+        n, b = keys.shape
+        return pa.table(
+            {
+                "key": pa.array(keys.reshape(-1)),
+                "image_id": pa.array(np.repeat(np.asarray(ids, dtype=object), b), pa.string()),
+                "phash": pa.array(np.repeat(t["phash"].to_numpy(zero_copy_only=False), b)),
+            }
+        )
+
+
+def caption_edges(hashes_ok: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    """Caption-LSH candidates, verified with the phash predicate so the
+    cluster partition is unchanged vs the reference semantics (J2)."""
+    banded = hashes_ok.map_batches(
+        CaptionBander,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, _cpus()),
+    )
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # dedupe identical hashes inside the bucket first (their dist-0
+        # edges are already produced by the collapse stage)
+        g = g.sort_values("image_id").drop_duplicates("phash")
+        ids = g["image_id"].to_numpy(dtype=object)
+        h = g["phash"].to_numpy(dtype=np.int64).view(np.uint64)
+        return _emit_pairs(ids, h, cfg.radius, cfg.bucket_cap)
+
+    return banded.groupby("key").map_groups(_bucket, batch_format="pandas")
+
+
+def dedup_edges(edges: rd.Dataset) -> rd.Dataset:
+    """J3: distinct (id_a, id_b) — one groupby, keeps min dist."""
+    from ray.data.aggregate import Min
+
+    return edges.groupby(["id_a", "id_b"]).aggregate(Min("dist", alias_name="dist"))
+
+
+def _cpus() -> int:
+    from idf.ops import available_cpus
+
+    return available_cpus()

@@ -1,0 +1,105 @@
+"""Decode + perceptual-hash stage.
+
+Reference analog: the ``idf hash`` loop (app/Commands.java:72-96) —
+format filter, per-file decode, hash, per-file failure skip. Here it is
+one actor-pool ``map_batches`` over zero-copy Arrow batches: decode
+``bytes`` -> numpy, run the batched hash kernel, drop ``bytes``
+immediately (SURVEY §7: never shuffle the binary column).
+
+Output schema: image_id, phash(int64 bit-cast), pixels, size, status
+('ok' | 'skip:fmt' | 'skip:decode'). Skipped rows become metric rows
+instead of stderr lines (M9 mapping, Commands.java:81-83).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from idf.codecs import ACCEPTED_FORMATS, DecodeError, decode
+from idf.config import DedupConfig
+from idf.kernels.hashes import hash_gray_batch, preprocess, resize_dims
+from idf.ops import available_cpus
+
+HASH_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("phash", pa.int64()),
+        ("pixels", pa.int64()),
+        ("size", pa.int64()),
+        ("caption", pa.string()),
+        ("status", pa.string()),
+    ]
+)
+
+
+class DecodeHasher:
+    """Actor-pool UDF: kernel constants built once per actor (__init__),
+    per-batch work in __call__."""
+
+    def __init__(self, algo: str = "phash"):
+        self.algo = algo
+        self.dims = resize_dims(algo)
+        # touch kernel tables so per-actor setup cost is paid here, not
+        # in the first batch (DCT matrix, popcount LUT)
+        from idf.kernels.hashes import _D32  # noqa: F401
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        n = len(ids)
+        status = ["ok"] * n
+        pixels = np.full(n, -1, dtype=np.int64)
+        sizes = np.full(n, -1, dtype=np.int64)
+        grays = np.zeros((n, *self.dims), dtype=np.uint8)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):  # per-row decode (images are variable-size blobs);
+            # the math inside decode/preprocess is vectorized per image
+            if str(fmts[i]).lower() not in ACCEPTED_FORMATS:
+                status[i] = "skip:fmt"
+                continue
+            try:
+                img = decode(blobs[i])
+            except DecodeError:
+                status[i] = "skip:decode"
+                continue
+            grays[i] = preprocess(img, *self.dims)
+            pixels[i] = img.shape[0] * img.shape[1]
+            sizes[i] = len(blobs[i])
+            ok[i] = True
+        hashes = np.zeros(n, dtype=np.uint64)
+        if ok.any():
+            hashes[ok] = hash_gray_batch(grays[ok], self.algo)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(hashes.view(np.int64)),
+                "pixels": pa.array(pixels),
+                "size": pa.array(sizes),
+                "caption": pa.array(caps, pa.string()),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+
+def hash_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+    conc = cfg.decode_concurrency or available_cpus()
+    return images.map_batches(
+        DecodeHasher,
+        fn_constructor_kwargs={"algo": cfg.algo},
+        batch_format="pyarrow",
+        batch_size=cfg.decode_batch_size,
+        zero_copy_batch=True,
+        concurrency=(1, conc),
+        num_cpus=1,
+    )
+
+
+def read_images(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Source reader (S1/S2 mapping): column-pruned parquet read of the
+    images table. ``read_lance`` is the target at scale; the lance wheel
+    is absent in-sandbox so the layout is parquet (SURVEY §7 fallback)."""
+    return rd.read_parquet(path, columns=columns)

@@ -1,0 +1,111 @@
+"""Run manifest: per-stage commit, per-partition lineage + metrics, resume.
+
+Formalizes the reference's implicit checkpoint model — stages
+communicate only via files, so every stage boundary is a resume point
+(SURVEY §3.4: hash -> hashes.csv -> cluster -> clusters.csv -> plan ->
+plan.csv). Here each stage writes a partitioned Parquet directory
+atomically (write to ``<name>.tmp``, rename on success), and the
+manifest records per-partition lineage (file, rows, bytes) plus stage
+metrics. A rerun with ``resume=True`` skips committed stages — that is
+the north rule's "resumes mid-pipeline after failure" requirement, with
+partition-level skip on the write side (finished stage directories are
+never recomputed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable
+
+import ray.data as rd
+
+MANIFEST_NAME = "manifest.json"
+
+
+class RunManifest:
+    def __init__(self, run_dir: str, resume: bool = True):
+        self.run_dir = run_dir
+        self.resume = resume
+        os.makedirs(run_dir, exist_ok=True)
+        self.path = os.path.join(run_dir, MANIFEST_NAME)
+        self.state: dict = {"stages": {}}
+        if resume and os.path.exists(self.path):
+            with open(self.path) as f:
+                self.state = json.load(f)
+
+    # -- persistence -------------------------------------------------------
+
+    def _save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    def stage_dir(self, name: str) -> str:
+        return os.path.join(self.run_dir, name)
+
+    def is_committed(self, name: str) -> bool:
+        info = self.state["stages"].get(name)
+        return bool(info and info.get("status") == "committed" and os.path.isdir(self.stage_dir(name)))
+
+    # -- stage execution ---------------------------------------------------
+
+    def run_stage(
+        self,
+        name: str,
+        build: Callable[[], rd.Dataset],
+        metrics: dict | None = None,
+    ) -> str:
+        """Execute ``build`` -> write parquet atomically -> commit; or skip
+        if already committed and resume is on. Returns the stage output
+        directory (read it back with ``ray.data.read_parquet``)."""
+        out = self.stage_dir(name)
+        if self.resume and self.is_committed(name):
+            return out
+        t0 = time.time()
+        tmp = out + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        ds = build()
+        ds.write_parquet(tmp)
+        os.replace(tmp, out)
+        parts = self._partition_lineage(out)
+        self.state["stages"][name] = {
+            "status": "committed",
+            "output": out,
+            "wall_sec": round(time.time() - t0, 3),
+            "rows": sum(p["rows"] for p in parts),
+            "partitions": parts,
+            "metrics": metrics or {},
+        }
+        self._save()
+        return out
+
+    def record_metrics(self, name: str, extra: dict) -> None:
+        info = self.state["stages"].setdefault(name, {"status": "metrics-only"})
+        info.setdefault("metrics", {}).update(extra)
+        self._save()
+
+    @staticmethod
+    def _partition_lineage(out_dir: str) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        parts = []
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(out_dir, fn)
+            md = pq.ParquetFile(p).metadata
+            parts.append({"file": fn, "rows": md.num_rows, "bytes": os.path.getsize(p)})
+        return parts
+
+    def summary(self) -> dict:
+        return {
+            name: {k: v for k, v in info.items() if k != "partitions"}
+            for name, info in self.state["stages"].items()
+        }

@@ -1,0 +1,155 @@
+"""End-to-end engine-vs-oracle conformance (FIXTURES.md §5)."""
+
+import collections
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from idf.config import DedupConfig
+from idf.oracle import (
+    clusters_table,
+    dup_pairs,
+    oracle_end_to_end,
+    oracle_hash_stage,
+    pair_recall_precision,
+)
+from idf.pipelines.dedup import read_stage, run_dedup
+from idf.synth import i64_to_u64
+
+
+@pytest.fixture(scope="module")
+def run(ray_session, small_images_table, tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("run"))
+    man = run_dedup(small_images_table, run_dir, DedupConfig(), resume=False)
+    return small_images_table, run_dir, man
+
+
+def _partition(rows):
+    comp = collections.defaultdict(set)
+    for cid, mid in rows:
+        comp[cid].add(mid)
+    return {frozenset(v) for v in comp.values()}
+
+
+def test_hashes_match_oracle(run):
+    imgs, run_dir, _ = run
+    table = pq.read_table(imgs)
+    oh = oracle_hash_stage(table)
+    got = read_stage(run_dir, "hashes").to_pandas()
+    ok = got[got["status"] == "ok"]
+    assert set(ok["image_id"]) == set(oh.id2hash)
+    for _, r in ok.iterrows():
+        assert i64_to_u64(int(r["phash"])) == oh.id2hash[r["image_id"]], r["image_id"]
+    skipped = set(got[got["status"] != "ok"]["image_id"])
+    assert skipped == set(oh.skipped)
+
+
+def test_clusters_match_oracle_partition(run):
+    imgs, run_dir, _ = run
+    table = pq.read_table(imgs)
+    oh, comps, _ = oracle_end_to_end(table, radius=10)
+    want = {c for c in comps if len(c) >= 2}
+    got_rows = [
+        (r["cluster_id"], r["image_id"])
+        for r in read_stage(run_dir, "clusters").to_pandas().to_dict("records")
+    ]
+    got = _partition(got_rows)
+    assert got == want
+    # deterministic cluster ids: min member
+    for cid, mid in got_rows:
+        assert cid == min(next(c for c in got if mid in c))
+    recall, precision = pair_recall_precision(
+        dup_pairs(got), dup_pairs([c for c in comps if len(c) >= 2])
+    )
+    assert recall >= 0.99 and precision >= 0.99
+
+
+def test_clusters_table_equivalence(run):
+    imgs, run_dir, _ = run
+    table = pq.read_table(imgs)
+    oh, comps, _ = oracle_end_to_end(table, radius=10)
+    got = sorted(
+        (r["cluster_id"], r["image_id"])
+        for r in read_stage(run_dir, "clusters").to_pandas().to_dict("records")
+    )
+    assert got == clusters_table(comps)
+
+
+def test_plan_matches_oracle(run):
+    imgs, run_dir, _ = run
+    table = pq.read_table(imgs)
+    oh, comps, plan = oracle_end_to_end(table, radius=10)
+    got = sorted(
+        (r["cluster_id"], r["action"], r["image_id"], r["reason"])
+        for r in read_stage(run_dir, "plan").to_pandas().to_dict("records")
+    )
+    assert got == plan
+
+
+def test_apply_partitions_input(run):
+    imgs, run_dir, _ = run
+    table = pq.read_table(imgs)
+    keep = set(read_stage(run_dir, "apply_keep").to_pandas()["image_id"])
+    quar = set(read_stage(run_dir, "apply_quarantine").to_pandas()["image_id"])
+    allids = set(table["image_id"].to_pylist())
+    assert keep | quar == allids
+    assert not (keep & quar)
+    plan = read_stage(run_dir, "plan").to_pandas()
+    assert quar == set(plan[plan["action"] == "DELETE"]["image_id"])
+
+
+def test_manifest_metrics(run):
+    _, run_dir, man = run
+    s = man.summary()
+    assert s["hashes"]["status"] == "committed"
+    assert s["hashes"]["metrics"]["status_counts"].get("ok", 0) > 0
+    assert all("wall_sec" in v for v in s.values() if v.get("status") == "committed")
+    # per-partition lineage recorded
+    assert man.state["stages"]["hashes"]["partitions"]
+
+
+def test_resume_skips_committed(run, small_images_table):
+    imgs, run_dir, man = run
+    before = {k: v["wall_sec"] for k, v in man.summary().items() if "wall_sec" in v}
+    man2 = run_dedup(imgs, run_dir, DedupConfig(), resume=True)
+    after = {k: v["wall_sec"] for k, v in man2.summary().items() if "wall_sec" in v}
+    assert before == after  # nothing recomputed
+
+
+def test_resume_mid_pipeline(ray_session, small_images_table, tmp_path_factory):
+    """Kill after the candidates stage commits; rerun completes from there
+    with byte-identical early stages (FIXTURES §5.4)."""
+    import shutil
+
+    run_dir = str(tmp_path_factory.mktemp("resume"))
+    man = run_dedup(small_images_table, run_dir, DedupConfig(), resume=False, do_apply=False)
+    # simulate the failure: drop everything after edges_band
+    for name in ("clusters", "plan"):
+        shutil.rmtree(man.stage_dir(name))
+        del man.state["stages"][name]
+    man._save()
+    hashes_before = sorted(
+        (p["file"], p["rows"]) for p in man.state["stages"]["hashes"]["partitions"]
+    )
+    man2 = run_dedup(small_images_table, run_dir, DedupConfig(), resume=True, do_apply=False)
+    assert man2.is_committed("clusters") and man2.is_committed("plan")
+    hashes_after = sorted(
+        (p["file"], p["rows"]) for p in man2.state["stages"]["hashes"]["partitions"]
+    )
+    assert hashes_before == hashes_after
+    assert man2.summary()["hashes"]["wall_sec"] == man.summary()["hashes"]["wall_sec"]
+
+
+def test_labelprop_equals_driver_cc(ray_session, small_images_table, tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("lp"))
+    cfg = DedupConfig(cc_mode="labelprop")
+    man = run_dedup(small_images_table, run_dir, cfg, resume=False, do_apply=False)
+    got = _partition(
+        (r["cluster_id"], r["image_id"])
+        for r in read_stage(run_dir, "clusters").to_pandas().to_dict("records")
+    )
+    table = pq.read_table(small_images_table)
+    _, comps, _ = oracle_end_to_end(table, radius=10)
+    assert got == {c for c in comps if len(c) >= 2}
