@@ -1,0 +1,158 @@
+"""Text-analysis operators for a training-data pipeline (task brief:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+All are single-pass vectorized ``map_batches`` stages over the
+``documents`` table; the SQL-expressible ones have DuckDB oracles in
+``__ray_entry__.oracle_sql`` with identical output column names.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+_WS = re.compile(r"\s+")
+
+# tiny per-language stopword profiles for the heuristic language-ID
+_LANG_PROFILES = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "des", "que"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "que"},
+    "zh": set(),  # no-latin-stopword fallback handled by the CJK ratio
+}
+
+_STOPWORDS = sorted(set().union(*_LANG_PROFILES.values()))
+
+
+def token_count(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, n_tokens): whitespace tokenization.
+    Oracle: ``length(regexp_split_to_array(trim(text), '\\s+'))``."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.strip()
+        n = toks.map(lambda s: len(_WS.split(s)) if s else 0)
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": n.astype(np.int64)})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def quality_score(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, n_tokens, avg_token_len, stop_ratio, quality) — simple
+    length/stopword quality heuristics, all SQL-expressible (rounded to
+    6 dp so the DuckDB value-hash matches)."""
+    stop = frozenset(_STOPWORDS)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").str.strip()
+        tok_lists = texts.map(lambda s: _WS.split(s) if s else [])
+        n_tok = tok_lists.map(len).astype(np.int64)
+        tot_len = tok_lists.map(lambda ts: sum(len(t) for t in ts)).astype(np.int64)
+        n_stop = tok_lists.map(lambda ts: sum(1 for t in ts if t.lower() in stop)).astype(np.int64)
+        denom = n_tok.replace(0, 1)
+        avg_len = (tot_len / denom).round(6)
+        stop_ratio = (n_stop / denom).round(6)
+        quality = (
+            np.minimum(n_tok / 100.0, 1.0) * 0.5
+            + np.minimum(avg_len / 8.0, 1.0) * 0.3
+            + stop_ratio * 0.2
+        ).round(6)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n_tok,
+                "avg_token_len": avg_len,
+                "stop_ratio": stop_ratio,
+                "quality": quality,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def lang_id(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, lang_pred, lang_score) — stopword-profile + CJK-ratio
+    heuristic language ID (not SQL-expressible; rows-only oracle +
+    pytest determinism check)."""
+    profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items() if v}
+
+    class LangId:
+        def __init__(self):
+            self.profiles = profiles
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            preds, scores = [], []
+            for text in df["text"].fillna(""):
+                if not text:
+                    preds.append("und")
+                    scores.append(0.0)
+                    continue
+                cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+                if cjk / max(len(text), 1) > 0.2:
+                    preds.append("zh")
+                    scores.append(round(cjk / len(text), 6))
+                    continue
+                toks = [t.lower() for t in _WS.split(text.strip())]
+                best, best_score = "und", 0.0
+                for lang, prof in sorted(self.profiles.items()):
+                    s = sum(1 for t in toks if t in prof) / max(len(toks), 1)
+                    if s > best_score:
+                        best, best_score = lang, s
+                preds.append(best)
+                scores.append(round(best_score, 6))
+            return pd.DataFrame(
+                {"doc_id": df["doc_id"], "lang_pred": preds, "lang_score": scores}
+            )
+
+    from idf.ops import available_cpus
+
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, available_cpus()))
+
+
+def fingerprint_md5(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, fp): md5 of the normalized text — SQL oracle
+    ``md5(lower(trim(text)))``."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fp = df["text"].fillna("").map(
+            lambda s: hashlib.md5(s.strip().lower().encode()).hexdigest()
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "fp": fp})
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def winnow_fingerprints(ds: rd.Dataset, k: int = 5, window: int = 4) -> rd.Dataset:
+    """(doc_id, fp) rows: winnowing document fingerprints — rolling
+    polynomial hash over character k-grams, min-sampled per window
+    (Schleimer et al., SIGMOD'03 public algorithm). Not SQL-expressible."""
+    B = np.uint64(1000000007)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            s = np.frombuffer(text.strip().lower().encode(), dtype=np.uint8)
+            if len(s) < k:
+                ids.append(doc_id)
+                fps.append(0)
+                continue
+            with np.errstate(over="ignore"):
+                h = np.zeros(len(s) - k + 1, dtype=np.uint64)
+                for off in range(k):  # k is tiny; the array op is vectorized
+                    h = h * B + s[off : len(s) - k + 1 + off]
+            n = len(h) - window + 1
+            if n <= 1:
+                sel = np.array([int(h.argmin())])
+            else:
+                idx = np.arange(window)[None, :] + np.arange(n)[:, None]
+                sel = np.unique(idx[np.arange(n), h[idx].argmin(axis=1)])
+            for v in np.unique(h[sel]):
+                ids.append(doc_id)
+                fps.append(np.int64(v.astype(np.int64)))
+        return pd.DataFrame({"doc_id": ids, "fp": np.array(fps, dtype=np.int64)})
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -1,0 +1,177 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from idf.functions.ann import cosine_pairs, cosine_topk, ivf_topk
+from idf.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    token_count,
+    winnow_fingerprints,
+)
+from idf.functions.text_dedup import (
+    exact_dedup_docs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64_batch,
+    simhash_docs,
+    simhash_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_count(docs):
+    got = token_count(docs).to_pandas().set_index("doc_id")["n_tokens"]
+    pdf = docs.to_pandas()
+    for _, r in pdf.head(50).iterrows():
+        assert got[r["doc_id"]] == len(r["text"].split())
+
+
+def test_quality_score_deterministic(docs):
+    a = quality_score(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = quality_score(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert ((a["quality"] >= 0) & (a["quality"] <= 1)).all()
+
+
+def test_lang_id_runs(docs):
+    out = lang_id(docs).to_pandas()
+    assert len(out) == docs.count()
+    assert set(out["lang_pred"]) <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+def test_fingerprints(docs):
+    import hashlib
+
+    out = fingerprint_md5(docs).to_pandas().set_index("doc_id")["fp"]
+    pdf = docs.to_pandas().head(20)
+    for _, r in pdf.iterrows():
+        assert out[r["doc_id"]] == hashlib.md5(r["text"].strip().lower().encode()).hexdigest()
+    wf = winnow_fingerprints(docs).to_pandas()
+    assert wf["doc_id"].nunique() == docs.count()
+    # identical texts -> identical fingerprint sets
+    d = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["hello world of text"] * 2}))
+    w2 = winnow_fingerprints(d).to_pandas()
+    assert set(w2[w2["doc_id"] == 1]["fp"]) == set(w2[w2["doc_id"] == 2]["fp"])
+
+
+def _brute_jaccard_pairs(pdf: pd.DataFrame, tau: float, k: int = 3):
+    from idf.kernels.minhash import shingle_hashes
+
+    sets = {r["doc_id"]: set(shingle_hashes(r["text"], k).tolist()) for _, r in pdf.iterrows()}
+    ids = sorted(sets)
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sets[ids[i]], sets[ids[j]]
+            inter = len(a & b)
+            if inter:
+                jac = inter / (len(a) + len(b) - inter)
+                if jac >= tau:
+                    out[(ids[i], ids[j])] = round(jac, 6)
+    return out
+
+
+def test_ngram_jaccard_exact(docs):
+    tau = 0.5
+    got = ngram_jaccard_pairs(docs, tau=tau).to_pandas()
+    want = _brute_jaccard_pairs(docs.to_pandas(), tau)
+    gotmap = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for _, r in got.iterrows()}
+    assert gotmap.keys() == want.keys()
+    for key in want:
+        assert abs(gotmap[key] - want[key]) < 1e-9
+
+
+def test_minhash_lsh_high_tau(docs):
+    tau = 0.8
+    got = minhash_lsh_pairs(docs, tau=tau).to_pandas()
+    want = _brute_jaccard_pairs(docs.to_pandas(), tau)
+    gotpairs = {(r["doc_id_a"], r["doc_id_b"]) for _, r in got.iterrows()}
+    # exact precision (verified), near-1 recall at high tau
+    assert gotpairs <= want.keys() or not want
+    if want:
+        assert len(gotpairs & want.keys()) / len(want) >= 0.9
+
+
+def test_simhash_deterministic_and_pairs(docs):
+    h1 = simhash64_batch(["the quick brown fox", "the quick brown fox", "totally different words"])
+    assert h1[0] == h1[1] != h1[2]
+    out = simhash_docs(docs).to_pandas()
+    assert out["doc_id"].nunique() == len(out)
+    pairs = simhash_pairs(docs, radius=10).to_pandas()
+    # verify against brute force
+    hs = {r["doc_id"]: np.uint64(np.int64(r["simhash"])) for _, r in out.iterrows()}
+    from idf.kernels import hamming_distance
+
+    want = set()
+    ids = sorted(hs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if hamming_distance(int(hs[ids[i]]), int(hs[ids[j]])) <= 10:
+                want.add((ids[i], ids[j]))
+    got = {(r["doc_id_a"], r["doc_id_b"]) for _, r in pairs.iterrows()}
+    assert got == want
+
+
+def test_exact_dedup_docs(docs):
+    out = exact_dedup_docs(docs).to_pandas()
+    pdf = docs.to_pandas()
+    want = pdf.groupby("text")["doc_id"].min()
+    assert sorted(out["doc_id"]) == sorted(want)
+
+
+def test_cosine_topk_vs_numpy(emb):
+    qids = [0, 1, 2]
+    got = cosine_topk(emb, qids, k=5).to_pandas()
+    pdf = emb.to_pandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    vids = pdf["vec_id"].to_numpy()
+    for q in qids:
+        qv = mat[vids == q][0]
+        sims = mat @ qv
+        order = np.lexsort((vids, -sims))
+        want = [int(vids[i]) for i in order if vids[i] != q][:5]
+        gq = got[got["vec_id"] == q].sort_values("rank")
+        assert list(gq["neighbor_id"]) == want
+        assert list(gq["rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_cosine_pairs(emb):
+    tau = 0.8
+    got = cosine_pairs(emb, tau=tau).to_pandas()
+    pdf = emb.to_pandas()
+    mat = np.stack(pdf["embedding"].map(np.asarray))
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    vids = pdf["vec_id"].to_numpy()
+    sims = mat @ mat.T
+    ii, jj = np.nonzero(sims >= tau)
+    want = {(int(vids[i]), int(vids[j])) for i, j in zip(ii, jj) if vids[i] < vids[j]}
+    assert {(r["vec_id_a"], r["vec_id_b"]) for _, r in got.iterrows()} == want
+
+
+def test_ivf_topk_recall(emb):
+    qids = list(range(8))
+    exact = cosine_topk(emb, qids, k=5).to_pandas()
+    approx = ivf_topk(emb, qids, k=5, n_centroids=8, nprobe=4).to_pandas()
+    hits = tot = 0
+    for q in qids:
+        w = set(exact[exact["vec_id"] == q]["neighbor_id"])
+        g = set(approx[approx["vec_id"] == q]["neighbor_id"])
+        hits += len(w & g)
+        tot += len(w)
+    assert hits / tot >= 0.5  # nprobe=4 of 8 cells: recall well above half
