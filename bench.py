@@ -1,0 +1,127 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: wall time of the full image near-dup pipeline
+(decode -> pHash -> exact-collapse -> banding + caption-LSH -> verify ->
+connected components -> plan) over the deterministic synthetic images
+table for $GRAFT_SF_DIR (default sf0.1, ~10k images), at
+num_cpus=$RAY_GRAFT_CPUS (default 32). Corpus generation is one-time
+corpus prep and is NOT timed (cached under /tmp/idf_cache).
+
+``--scaling`` reruns the plain bench in fresh subprocesses at 8 and 32
+CPUs on the same input and reports both throughputs + scaling
+efficiency (the sandbox adaptation of the north rule's N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from idf.config import DedupConfig
+    from idf.functions.ann import cosine_topk
+    from idf.functions.text_dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from idf.pipelines.dedup import run_dedup
+    from idf.synth import ensure_images_cache, sf_from_dir
+
+    sf = sf_from_dir(sf_dir)
+    images = ensure_images_cache(sf_dir)  # untimed corpus prep (cached)
+    n_images = rd.read_parquet(images, columns=["image_id"]).count()  # warms page cache
+
+    queries: dict[str, float] = {}
+
+    run_dir = f"/tmp/idf_bench/run_sf{sf}_cpus{num_cpus}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    t0 = time.time()
+    run_dedup(images, run_dir, DedupConfig(), resume=False, do_apply=False)
+    pipeline_sec = time.time() - t0
+    queries["img_dedup_pipeline"] = round(pipeline_sec, 3)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    minhash_lsh_pairs(docs, tau=0.8).count()
+    queries["doc_minhash_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ngram_jaccard_pairs(docs, tau=0.6).count()
+    queries["doc_ngram_pairs"] = round(time.time() - t0, 3)
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t0 = time.time()
+    cosine_topk(emb, list(range(64)), k=10).count()
+    queries["emb_cosine_topk"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "img_dedup_pipeline_wall_sec",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_images": n_images,
+        "images_per_sec": round(n_images / pipeline_sec, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo_cpus, hi_cpus = 8, 32
+    out: dict[str, dict] = {}
+    for n in (lo_cpus, hi_cpus):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[str(n)] = json.loads(proc.stdout.strip().splitlines()[-1])
+    rate_lo = out[str(lo_cpus)]["images_per_sec"]
+    rate_hi = out[str(hi_cpus)]["images_per_sec"]
+    eff = (rate_hi / rate_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "sec_lo": out[str(lo_cpus)]["value"],
+        "sec_hi": out[str(hi_cpus)]["value"],
+        "images_per_sec_lo": rate_lo,
+        "images_per_sec_hi": rate_hi,
+        "sf": out[str(hi_cpus)]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -74,6 +74,32 @@ def quality_score(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pandas")
 
 
+def quality_components(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, n_chars_trim, n_tokens, tot_token_len, n_stop) — the
+    integer building blocks of the quality score, emitted exactly so the
+    DuckDB oracle hash-matches (no float rounding in play)."""
+    stop = frozenset(_STOPWORDS)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").str.strip()
+        tok_lists = texts.map(lambda s: _WS.split(s) if s else [])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars_trim": texts.str.len().astype(np.int64),
+                "n_tokens": tok_lists.map(len).astype(np.int64),
+                "tot_token_len": tok_lists.map(lambda ts: sum(len(t) for t in ts)).astype(
+                    np.int64
+                ),
+                "n_stop": tok_lists.map(
+                    lambda ts: sum(1 for t in ts if t.lower() in stop)
+                ).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def lang_id(ds: rd.Dataset) -> rd.Dataset:
     """(doc_id, lang_pred, lang_score) — stopword-profile + CJK-ratio
     heuristic language ID (not SQL-expressible; rows-only oracle +

@@ -70,27 +70,36 @@ def ngram_jaccard_pairs(
     is computed over ALL shingles of the surviving candidate pairs, so
     precision is always exact).
     """
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
+
+    from idf.ops import bucketed_apply
 
     shingles = docs.map_batches(
         lambda df: _shingle_rows(df, k), batch_format="pandas"
     )
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy(dtype=np.int64))
-        if len(ids) < 2 or len(ids) > hot_cap:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)}
-            )
-        ii, jj = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+    def _bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized self-merge per shuffle bucket: emits per-bucket
+        partial |A∩B| counts (each shingle lives in exactly one bucket,
+        so the global Sum over buckets is the exact intersection)."""
+        if len(g):
+            hot = g["shingle"].value_counts()
+            g = g[g["shingle"].map(hot) <= hot_cap]
+        m = g.merge(g, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (
+            m.groupby(["doc_id_x", "doc_id_y"], sort=False)
+            .size()
+            .reset_index(name="n_common")
+        )
+        return out.rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b"}).astype(
+            {"id_a": np.int64, "id_b": np.int64, "n_common": np.int64}
+        )
 
-    # candidate pairs with multiplicity == |A∩B| (over non-hot shingles)
     inter = (
-        shingles.groupby("shingle")
-        .map_groups(_pairs, batch_format="pandas")
+        bucketed_apply(shingles, "shingle", _bucket_counts)
         .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_common"))
+        .aggregate(Sum("n_common", alias_name="n_common"))
     )
     sizes = (
         shingles.groupby("doc_id")
@@ -113,8 +122,10 @@ def ngram_jaccard_pairs(
     )
 
     def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        # raw IEEE double division of exact ints — bit-identical to the
+        # SQL oracle's c*1.0/(na+nb-c), so the value-hash matches
         jac = df["n_common"] / (df["n_a"] + df["n_b"] - df["n_common"])
-        out = df.assign(jaccard=jac.round(6))
+        out = df.assign(jaccard=jac)
         out = out[out["jaccard"] >= tau]
         return pd.DataFrame(
             {
@@ -189,7 +200,9 @@ def minhash_lsh_pairs(
             {"doc_id_a": np.int64, "doc_id_b": np.int64}
         )
 
-    pairs = banded.groupby("key").map_groups(_verify, batch_format="pandas")
+    from idf.ops import bucketed_group_apply
+
+    pairs = bucketed_group_apply(banded, "key", _verify)
     # J3 dedup (same pair surfaces from several bands)
     from ray.data.aggregate import Max
 

@@ -24,6 +24,77 @@ def available_cpus(default: int = 4) -> int:
         return default
 
 
+N_BUCKETS_DEFAULT = 64
+
+
+def _bucket_of(col: pd.Series, n_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket per key (stable across processes —
+    pandas' fixed-key siphash)."""
+    return (pd.util.hash_pandas_object(col, index=False).to_numpy() % n_buckets).astype(
+        np.int64
+    )
+
+
+def bucketed_apply(
+    ds: rd.Dataset,
+    key: str | list[str],
+    bucket_fn,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> rd.Dataset:
+    """Hash-partition rows by ``key`` into ``n_buckets`` shuffle groups
+    and apply ``bucket_fn`` (pandas in/out) to each WHOLE bucket.
+
+    All rows with equal keys land in the same bucket, so any per-key
+    computation done inside ``bucket_fn`` (vectorized groupby/merge) is
+    globally correct. This is the engine's salting primitive: shuffles
+    are keyed on the bucket (bounded scheduling units, bounded skew from
+    distinct-key count) rather than on raw keys.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (
+            pd.util.hash_pandas_object(df[keys], index=False).to_numpy() % n_buckets
+        ).astype(np.int64)
+        return df
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: bucket_fn(g.drop(columns="__bucket")), batch_format="pandas"
+        )
+    )
+
+
+def bucketed_group_apply(
+    ds: rd.Dataset,
+    key: str | list[str],
+    group_fn,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> rd.Dataset:
+    """``groupby(key).map_groups(group_fn)`` with key salting.
+
+    A shuffle keyed on raw ``key`` creates one Ray group per distinct
+    key — ruinous overhead when keys are numerous and tiny (LSH
+    buckets, per-cluster groups). Here the shuffle groups on a hash
+    bucket of the key (``n_buckets`` scheduling units) and ``group_fn``
+    runs per real key-group via a local pandas groupby inside the task.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [group_fn(sub) for _, sub in g.groupby(keys, sort=False, dropna=False)]
+        outs = [o for o in outs if o is not None and len(o)]
+        if not outs:
+            out = group_fn(g.iloc[0:0])  # empty frame with the right schema
+            return out if out is not None else pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_apply(ds, key, apply_bucket, n_buckets)
+
+
 # ---------------------------------------------------------------------------
 # joins
 
@@ -72,6 +143,17 @@ def hash_join(
         right.map_batches(_pad(1, rname), batch_format="pyarrow")
     )
 
+    # co-group by a HASH BUCKET of the key (N_BUCKETS shuffle groups),
+    # then ONE vectorized pandas merge per bucket — not one task per
+    # distinct key value. Blocks stay Arrow until the per-side split so
+    # the null padding never degrades dtypes.
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kdf = t.select(keys).to_pandas()
+        b = (
+            pd.util.hash_pandas_object(kdf, index=False).to_numpy() % N_BUCKETS_DEFAULT
+        ).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
     def _merge(t: pa.Table) -> pd.DataFrame:
         import pyarrow.compute as pc
 
@@ -79,7 +161,11 @@ def hash_join(
         rg = t.filter(pc.equal(t["__side"], 1)).select(rcols).to_pandas()
         return lg.merge(rg, on=keys, how=how)
 
-    return tagged.groupby(keys).map_groups(_merge, batch_format="pyarrow")
+    return (
+        tagged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
 
 
 def broadcast_lookup(
@@ -145,11 +231,11 @@ def elect_top1(
     ascending = list(ascending)
 
     def _elect(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        g = g.sort_values(sort_cols, ascending=ascending, kind="mergesort").copy()
         g[rank_col] = np.arange(len(g), dtype=np.int64)
         return g
 
-    return ds.groupby(group_key).map_groups(_elect, batch_format="pandas")
+    return bucketed_group_apply(ds, group_key, _elect)
 
 
 def filter_min_group_size(ds: rd.Dataset, group_key: str, min_size: int = 2) -> rd.Dataset:
@@ -159,7 +245,7 @@ def filter_min_group_size(ds: rd.Dataset, group_key: str, min_size: int = 2) -> 
     def _f(g: pd.DataFrame) -> pd.DataFrame:
         return g if len(g) >= min_size else g.iloc[0:0]
 
-    return ds.groupby(group_key).map_groups(_f, batch_format="pandas")
+    return bucketed_group_apply(ds, group_key, _f)
 
 
 def exact_dedup(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
@@ -169,7 +255,7 @@ def exact_dedup(ds: rd.Dataset, key: str, order_col: str) -> rd.Dataset:
     def _first(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(order_col, kind="mergesort").head(1)
 
-    return ds.groupby(key).map_groups(_first, batch_format="pandas")
+    return bucketed_group_apply(ds, key, _first)
 
 
 def count_by(ds: rd.Dataset, key: str | list[str], alias: str = "n") -> rd.Dataset:

@@ -81,17 +81,35 @@ def local_collapse_batch(t: pa.Table) -> pa.Table:
 
 
 def global_collapse(local_distinct: rd.Dataset) -> rd.Dataset:
-    """groupby(phash) over batch-distinct rows -> global rep + link edges."""
+    """Bucketed groupby(phash) over batch-distinct rows -> global rep +
+    link edges. The per-hash work is a vectorized min-per-group over the
+    whole bucket, not per-group python."""
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        reps = sorted(g["id_a"])
-        rep = reps[0]
-        rows = [(rep, rep, g["phash"].iloc[0], KIND_DISTINCT)]
-        rows += [(rep, r, g["phash"].iloc[0], KIND_EDGE) for r in reps[1:]]
-        out = pd.DataFrame(rows, columns=["id_a", "id_b", "phash", "kind"])
-        return out.astype({"kind": np.int8})
+    def _merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=object),
+                    "id_b": pd.Series([], dtype=object),
+                    "phash": pd.Series([], dtype=np.int64),
+                    "kind": pd.Series([], dtype=np.int8),
+                }
+            )
+        g = g.sort_values(["phash", "id_a"], kind="mergesort")
+        rep = g.groupby("phash", sort=False)["id_a"].transform("first")
+        kind = np.where(g["id_a"].to_numpy() == rep.to_numpy(), KIND_DISTINCT, KIND_EDGE)
+        return pd.DataFrame(
+            {
+                "id_a": rep.to_numpy(),
+                "id_b": g["id_a"].to_numpy(),
+                "phash": g["phash"].to_numpy(),
+                "kind": kind.astype(np.int8),
+            }
+        )
 
-    return local_distinct.groupby("phash").map_groups(_merge, batch_format="pandas")
+    from idf.ops import bucketed_apply
+
+    return bucketed_apply(local_distinct, "phash", _merge_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +215,9 @@ def band_edges(distinct: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
         h = g["phash"].to_numpy(dtype=np.int64).view(np.uint64)
         return _emit_pairs(ids, h, cfg.radius, cfg.bucket_cap)
 
-    return expanded.groupby("key").map_groups(_bucket, batch_format="pandas")
+    from idf.ops import bucketed_group_apply
+
+    return bucketed_group_apply(expanded, "key", _bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -244,7 +264,9 @@ def caption_edges(hashes_ok: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
         h = g["phash"].to_numpy(dtype=np.int64).view(np.uint64)
         return _emit_pairs(ids, h, cfg.radius, cfg.bucket_cap)
 
-    return banded.groupby("key").map_groups(_bucket, batch_format="pandas")
+    from idf.ops import bucketed_group_apply
+
+    return bucketed_group_apply(banded, "key", _bucket)
 
 
 def dedup_edges(edges: rd.Dataset) -> rd.Dataset:

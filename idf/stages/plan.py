@@ -58,5 +58,7 @@ def plan_stage(clusters: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
     """clusters (cluster_id, image_id) x meta (image_id, pixels, size)
     -> plan rows. The join is the distributed hash join; the per-cluster
     sort is local (groups are near-dup families — tiny)."""
+    from idf.ops import bucketed_group_apply
+
     joined = hash_join(clusters, meta.select_columns(["image_id", "pixels", "size"]), on="image_id")
-    return joined.groupby("cluster_id").map_groups(elect_keeper_group, batch_format="pandas")
+    return bucketed_group_apply(joined, "cluster_id", elect_keeper_group)

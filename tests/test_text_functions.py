@@ -82,7 +82,7 @@ def _brute_jaccard_pairs(pdf: pd.DataFrame, tau: float, k: int = 3):
             if inter:
                 jac = inter / (len(a) + len(b) - inter)
                 if jac >= tau:
-                    out[(ids[i], ids[j])] = round(jac, 6)
+                    out[(ids[i], ids[j])] = jac
     return out
 
 
@@ -152,7 +152,7 @@ def test_cosine_topk_vs_numpy(emb):
 
 
 def test_cosine_pairs(emb):
-    tau = 0.8
+    tau = 0.35  # synthetic embeddings top out near 0.5 cosine
     got = cosine_pairs(emb, tau=tau).to_pandas()
     pdf = emb.to_pandas()
     mat = np.stack(pdf["embedding"].map(np.asarray))
