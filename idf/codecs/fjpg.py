@@ -118,7 +118,7 @@ def encode_fjpg(img: np.ndarray, quality: int = 90) -> bytes:
     parts = []
     for ci in range(3):
         blocks = _to_blocks(ycc[..., ci])
-        coeffs = np.einsum("ij,njk,lk->nil", _D8, blocks, _D8)
+        coeffs = _D8 @ blocks @ _D8.T  # batched BLAS, (n,8,8)
         q = qy if ci == 0 else qc
         quant = np.round(coeffs / q).astype(np.int16)
         parts.append(quant.tobytes())
@@ -143,7 +143,7 @@ def decode_fjpg(data: bytes) -> np.ndarray:
     chans = []
     for ci in range(3):
         q = qy if ci == 0 else qc
-        blocks = np.einsum("ji,njk,kl->nil", _D8, raw[ci] * q, _D8)
+        blocks = _D8.T @ (raw[ci] * q) @ _D8  # batched BLAS inverse DCT
         chans.append(_from_blocks(blocks, h, w))
     ycc = np.stack(chans, axis=-1) + 128.0
     rgb = _ycbcr_to_rgb(ycc)

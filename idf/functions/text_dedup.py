@@ -200,9 +200,19 @@ def minhash_lsh_pairs(
             {"doc_id_a": np.int64, "doc_id_b": np.int64}
         )
 
-    from idf.ops import bucketed_group_apply
+    def _verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton band-keys (the vast majority) are filtered
+        # vectorized; only real collision groups pay the python verify
+        if len(g):
+            counts = g["key"].value_counts()
+            g = g[g["key"].map(counts) >= 2]
+        outs = [_verify(sub) for _, sub in g.groupby("key", sort=False)]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else _verify(g.iloc[0:0])
 
-    pairs = bucketed_group_apply(banded, "key", _verify)
+    from idf.ops import bucketed_apply
+
+    pairs = bucketed_apply(banded, "key", _verify_bucket)
     # J3 dedup (same pair surfaces from several bands)
     from ray.data.aggregate import Max
 
@@ -261,7 +271,7 @@ def simhash_pairs(docs: rd.Dataset, radius: int = 8) -> rd.Dataset:
     )
     from idf.stages.candidates import dedup_edges
 
-    edges = dedup_edges(band_edges(hashes, cfg))
+    edges = dedup_edges(band_edges(hashes, cfg, collapse_identical=False))
 
     def _orient(t: pa.Table) -> pa.Table:
         # edge ids are strings ordered lexicographically; restore int order

@@ -200,8 +200,83 @@ def _emit_pairs(
     )
 
 
-def band_edges(distinct: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
-    """Distinct-hash table -> verified candidate edges via banding."""
+_EMPTY_EDGES = {
+    "id_a": object,
+    "id_b": object,
+    "dist": np.int32,
+}
+
+
+def _empty_edges() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _EMPTY_EDGES.items()})
+
+
+def make_bucket_pairs_fn(radius: int, cap: int, collapse_identical: bool = True):
+    """Whole-bucket pair emitter over (key, image_id, phash) rows.
+
+    Small keys (<= cap rows) are handled in ONE vectorized self-merge +
+    popcount across the entire bucket; oversized keys fall back to the
+    chunked exact kernel. Never truncates.
+
+    ``collapse_identical``: drop same-(key, phash) duplicates, keeping
+    the min id — ONLY valid when a collapse stage already emitted the
+    dist-0 edges for identical hashes (the image pipeline). Callers
+    that need the full pair set (simhash_pairs) pass False."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _empty_edges()
+        g = g.sort_values("image_id", kind="mergesort")
+        if collapse_identical:
+            g = g.drop_duplicates(["key", "phash"])
+        counts = g["key"].value_counts()
+        n = g["key"].map(counts)
+        outs = []
+        small = g[(n >= 2) & (n <= cap)]
+        if len(small):
+            m = small.merge(small, on="key")
+            m = m[m["image_id_x"] < m["image_id_y"]]
+            if len(m):
+                hx = m["phash_x"].to_numpy(np.int64).view(np.uint64)
+                hy = m["phash_y"].to_numpy(np.int64).view(np.uint64)
+                d = popcount64(np.bitwise_xor(hx, hy))
+                keep = d <= radius
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": m["image_id_x"].to_numpy(dtype=object)[keep],
+                            "id_b": m["image_id_y"].to_numpy(dtype=object)[keep],
+                            "dist": d[keep].astype(np.int32),
+                        }
+                    )
+                )
+        big = g[n > cap]
+        for _, sub in big.groupby("key", sort=False):
+            outs.append(
+                _emit_pairs(
+                    sub["image_id"].to_numpy(dtype=object),
+                    sub["phash"].to_numpy(np.int64).view(np.uint64),
+                    radius,
+                    cap,
+                )
+            )
+        if not outs:
+            return _empty_edges()
+        out = pd.concat(outs, ignore_index=True)
+        # same pair can surface from several keys within this bucket
+        return out.drop_duplicates(["id_a", "id_b"], ignore_index=True)
+
+    return fn
+
+
+def band_edges(
+    distinct: rd.Dataset, cfg: DedupConfig, collapse_identical: bool = True
+) -> rd.Dataset:
+    """Distinct-hash table -> verified candidate edges via banding.
+
+    Pass ``collapse_identical=False`` when the input was NOT
+    exact-collapsed and the full pair set (incl. dist-0 pairs) is the
+    output contract (e.g. simhash_pairs)."""
     expanded = distinct.map_batches(
         BandExpander,
         fn_constructor_kwargs={"cfg": cfg},
@@ -209,15 +284,11 @@ def band_edges(distinct: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
         zero_copy_batch=True,
         concurrency=(1, _cpus()),
     )
+    from idf.ops import bucketed_apply
 
-    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["image_id"].to_numpy(dtype=object)
-        h = g["phash"].to_numpy(dtype=np.int64).view(np.uint64)
-        return _emit_pairs(ids, h, cfg.radius, cfg.bucket_cap)
-
-    from idf.ops import bucketed_group_apply
-
-    return bucketed_group_apply(expanded, "key", _bucket)
+    return bucketed_apply(
+        expanded, "key", make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap, collapse_identical)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -256,17 +327,11 @@ def caption_edges(hashes_ok: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
         concurrency=(1, _cpus()),
     )
 
-    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # dedupe identical hashes inside the bucket first (their dist-0
-        # edges are already produced by the collapse stage)
-        g = g.sort_values("image_id").drop_duplicates("phash")
-        ids = g["image_id"].to_numpy(dtype=object)
-        h = g["phash"].to_numpy(dtype=np.int64).view(np.uint64)
-        return _emit_pairs(ids, h, cfg.radius, cfg.bucket_cap)
+    # identical phash under the same band key dedupes inside the bucket
+    # fn (the collapse stage already links those at dist 0)
+    from idf.ops import bucketed_apply
 
-    from idf.ops import bucketed_group_apply
-
-    return bucketed_group_apply(banded, "key", _bucket)
+    return bucketed_apply(banded, "key", make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap))
 
 
 def dedup_edges(edges: rd.Dataset) -> rd.Dataset:
