@@ -74,9 +74,11 @@ def ngram_jaccard_pairs(
 
     from idf.ops import bucketed_apply
 
+    # two consumers (pair counts + sizes): materialize the small
+    # (doc_id:int64, shingle:int64) projection once
     shingles = docs.map_batches(
         lambda df: _shingle_rows(df, k), batch_format="pandas"
-    )
+    ).materialize()
 
     def _bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
         """One vectorized self-merge per shuffle bucket: emits per-bucket
@@ -96,46 +98,52 @@ def ngram_jaccard_pairs(
             {"id_a": np.int64, "id_b": np.int64, "n_common": np.int64}
         )
 
-    inter = (
-        bucketed_apply(shingles, "shingle", _bucket_counts)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Sum("n_common", alias_name="n_common"))
-    )
-    sizes = (
-        shingles.groupby("doc_id")
-        .aggregate(Count(alias_name="n_shingles"))
-    )
+    from idf.ops import bucketed_aggregate
 
-    j1 = hash_join(
-        inter,
-        sizes.map_batches(
-            lambda t: t.rename_columns(["id_a", "n_a"]), batch_format="pyarrow"
-        ),
-        on="id_a",
+    # per-PAIR sum: millions of tiny groups -> bucketed pandas agg, not
+    # the per-group native aggregate
+    inter = bucketed_aggregate(
+        bucketed_apply(shingles, "shingle", _bucket_counts),
+        ["id_a", "id_b"],
+        {"n_common": ("n_common", "sum")},
     )
-    j2 = hash_join(
-        j1,
-        sizes.map_batches(
-            lambda t: t.rename_columns(["id_b", "n_b"]), batch_format="pyarrow"
-        ),
-        on="id_b",
-    )
+    # per-doc shingle-set sizes: one int per document — a classic small
+    # side, broadcast once via ray.put instead of a shuffle join (at a
+    # scale where even this is too big, swap for the bucketed hash_join;
+    # same downstream code)
+    import ray
 
-    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
-        # raw IEEE double division of exact ints — bit-identical to the
-        # SQL oracle's c*1.0/(na+nb-c), so the value-hash matches
-        jac = df["n_common"] / (df["n_a"] + df["n_b"] - df["n_common"])
-        out = df.assign(jaccard=jac)
-        out = out[out["jaccard"] >= tau]
-        return pd.DataFrame(
-            {
-                "doc_id_a": out["id_a"].astype(np.int64),
-                "doc_id_b": out["id_b"].astype(np.int64),
-                "jaccard": out["jaccard"],
-            }
-        )
+    sizes_df = shingles.groupby("doc_id").aggregate(Count(alias_name="n_shingles")).to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n_shingles"])))
 
-    return j2.map_batches(_finalize, batch_format="pandas")
+    class _Finalize:
+        def __init__(self):
+            self.sizes = ray.get(sizes_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {
+                        "doc_id_a": pd.Series([], dtype=np.int64),
+                        "doc_id_b": pd.Series([], dtype=np.int64),
+                        "jaccard": pd.Series([], dtype=np.float64),
+                    }
+                )
+            n_a = df["id_a"].map(self.sizes).to_numpy(np.int64)
+            n_b = df["id_b"].map(self.sizes).to_numpy(np.int64)
+            # raw IEEE double division of exact ints — bit-identical to
+            # the SQL oracle's c*1.0/(na+nb-c), so the value-hash matches
+            jac = df["n_common"].to_numpy(np.int64) / (n_a + n_b - df["n_common"].to_numpy(np.int64))
+            keep = jac >= tau
+            return pd.DataFrame(
+                {
+                    "doc_id_a": df["id_a"].to_numpy(np.int64)[keep],
+                    "doc_id_b": df["id_b"].to_numpy(np.int64)[keep],
+                    "jaccard": jac[keep],
+                }
+            )
+
+    return inter.map_batches(_Finalize, batch_format="pandas", concurrency=(1, available_cpus()))
 
 
 # ---------------------------------------------------------------------------
@@ -214,9 +222,9 @@ def minhash_lsh_pairs(
 
     pairs = bucketed_apply(banded, "key", _verify_bucket)
     # J3 dedup (same pair surfaces from several bands)
-    from ray.data.aggregate import Max
+    from idf.ops import bucketed_aggregate
 
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    return bucketed_aggregate(pairs, ["doc_id_a", "doc_id_b"], {"jaccard": ("jaccard", "max")})
 
 
 # ---------------------------------------------------------------------------

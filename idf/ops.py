@@ -262,3 +262,28 @@ def count_by(ds: rd.Dataset, key: str | list[str], alias: str = "n") -> rd.Datas
     from ray.data.aggregate import Count
 
     return ds.groupby(key).aggregate(Count(alias_name=alias))
+
+
+def bucketed_aggregate(
+    ds: rd.Dataset,
+    key: str | list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> rd.Dataset:
+    """Grouped aggregate for HIGH-CARDINALITY keys (millions of groups).
+
+    Ray's native ``groupby().aggregate()`` pays per-group overhead that
+    dominates when groups are tiny and numerous (e.g. per-PAIR counts).
+    This runs one vectorized ``pandas.groupby.agg`` per hash bucket.
+    ``aggs``: out_col -> (in_col, fn) with fn in {'sum','min','max',
+    'count','first'}.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False)
+        pieces = {out: gb[col].agg(fn) for out, (col, fn) in aggs.items()}
+        out = pd.DataFrame(pieces).reset_index()
+        return out
+
+    return bucketed_apply(ds, keys, agg_bucket, n_buckets)

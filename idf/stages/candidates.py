@@ -335,10 +335,11 @@ def caption_edges(hashes_ok: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
 
 
 def dedup_edges(edges: rd.Dataset) -> rd.Dataset:
-    """J3: distinct (id_a, id_b) — one groupby, keeps min dist."""
-    from ray.data.aggregate import Min
+    """J3: distinct (id_a, id_b), keeping min dist — bucketed grouped
+    aggregate (pair keys are high-cardinality)."""
+    from idf.ops import bucketed_aggregate
 
-    return edges.groupby(["id_a", "id_b"]).aggregate(Min("dist", alias_name="dist"))
+    return bucketed_aggregate(edges, ["id_a", "id_b"], {"dist": ("dist", "min")})
 
 
 def _cpus() -> int:
