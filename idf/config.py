@@ -29,9 +29,10 @@ class DedupConfig:
     # connected components: 'driver' union-find | 'labelprop' | 'auto'
     cc_mode: str = "auto"
     cc_driver_max_edges: int = 5_000_000
-    # decode stage actor pool
+    # decode stage execution (see stages/hash_stage.py: tasks by default)
     decode_batch_size: int = 32
     decode_concurrency: int | None = None  # None -> size from cluster CPUs
+    decode_actor_pool: bool = False
     seed: int = 42
 
     def band_rows(self) -> int:

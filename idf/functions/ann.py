@@ -71,22 +71,19 @@ def cosine_topk(
     qids = qrows["vec_id"].to_numpy(np.int64)
     qmat_ref = ray.put(_normalize(_stack(qrows["embedding"])))
 
-    class Scorer:
-        def __init__(self):
-            self.q = ray.get(qmat_ref)
+    from idf.ops import get_broadcast
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(_stack(df["embedding"]))
-            vids = df["vec_id"].to_numpy(np.int64)
-            sims = self.q @ m.T  # (nq, batch)
-            rows = _topk_rows(sims, qids, vids, k, exclude_self)
-            return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "sim", "rank"]).astype(
-                {"vec_id": np.int64, "neighbor_id": np.int64, "rank": np.int64}
-            )
+    def scorer(df: pd.DataFrame) -> pd.DataFrame:
+        q = get_broadcast(qmat_ref)
+        m = _normalize(_stack(df["embedding"]))
+        vids = df["vec_id"].to_numpy(np.int64)
+        sims = q @ m.T  # (nq, batch)
+        rows = _topk_rows(sims, qids, vids, k, exclude_self)
+        return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "sim", "rank"]).astype(
+            {"vec_id": np.int64, "neighbor_id": np.int64, "rank": np.int64}
+        )
 
-    partial = embeddings.map_batches(
-        Scorer, batch_format="pandas", batch_size=4096, concurrency=(1, available_cpus())
-    )
+    partial = embeddings.map_batches(scorer, batch_format="pandas", batch_size=4096)
 
     def _reduce(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
@@ -107,28 +104,25 @@ def cosine_pairs(embeddings: rd.Dataset, tau: float = 0.9) -> rd.Dataset:
     vids_all = all_rows["vec_id"].to_numpy(np.int64)
     mat_ref = ray.put(_normalize(_stack(all_rows["embedding"])))
 
-    class PairScorer:
-        def __init__(self):
-            self.m = ray.get(mat_ref)
+    from idf.ops import get_broadcast
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            b = _normalize(_stack(df["embedding"]))
-            bids = df["vec_id"].to_numpy(np.int64)
-            sims = b @ self.m.T  # (batch, n)
-            ii, jj = np.nonzero(sims >= tau)
-            keep = bids[ii] < vids_all[jj]
-            ii, jj = ii[keep], jj[keep]
-            return pd.DataFrame(
-                {
-                    "vec_id_a": bids[ii],
-                    "vec_id_b": vids_all[jj],
-                    "sim": np.round(sims[ii, jj], 6),
-                }
-            ).astype({"vec_id_a": np.int64, "vec_id_b": np.int64})
+    def pair_scorer(df: pd.DataFrame) -> pd.DataFrame:
+        mat = get_broadcast(mat_ref)
+        b = _normalize(_stack(df["embedding"]))
+        bids = df["vec_id"].to_numpy(np.int64)
+        sims = b @ mat.T  # (batch, n)
+        ii, jj = np.nonzero(sims >= tau)
+        keep = bids[ii] < vids_all[jj]
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame(
+            {
+                "vec_id_a": bids[ii],
+                "vec_id_b": vids_all[jj],
+                "sim": np.round(sims[ii, jj], 6),
+            }
+        ).astype({"vec_id_a": np.int64, "vec_id_b": np.int64})
 
-    return embeddings.map_batches(
-        PairScorer, batch_format="pandas", batch_size=4096, concurrency=(1, available_cpus())
-    )
+    return embeddings.map_batches(pair_scorer, batch_format="pandas", batch_size=4096)
 
 
 def ivf_topk(
@@ -164,32 +158,26 @@ def ivf_topk(
     probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     probe_ref = ray.put((qids, qmat, probe_cells))
 
-    class CellScorer:
-        def __init__(self):
-            self.cents = ray.get(cents_ref)
-            self.qids, self.qmat, self.cells = ray.get(probe_ref)
+    from idf.ops import get_broadcast
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(_stack(df["embedding"]))
-            vids = df["vec_id"].to_numpy(np.int64)
-            assign = np.argmax(m @ self.cents.T, axis=1)  # coarse cell per row
-            rows = []
-            for qi in range(len(self.qids)):
-                mask = np.isin(assign, self.cells[qi])
-                if not mask.any():
-                    continue
-                sims = self.qmat[qi] @ m[mask].T
-                sub = vids[mask]
-                rows.extend(
-                    _topk_rows(sims[None, :], self.qids[qi : qi + 1], sub, k, True)
-                )
-            return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "sim", "rank"]).astype(
-                {"vec_id": np.int64, "neighbor_id": np.int64, "rank": np.int64}
-            )
+    def cell_scorer(df: pd.DataFrame) -> pd.DataFrame:
+        cents_l, (qids_l, qmat_l, cells_l) = get_broadcast(cents_ref), get_broadcast(probe_ref)
+        m = _normalize(_stack(df["embedding"]))
+        vids = df["vec_id"].to_numpy(np.int64)
+        assign = np.argmax(m @ cents_l.T, axis=1)  # coarse cell per row
+        rows = []
+        for qi in range(len(qids_l)):
+            mask = np.isin(assign, cells_l[qi])
+            if not mask.any():
+                continue
+            sims = qmat_l[qi] @ m[mask].T
+            sub = vids[mask]
+            rows.extend(_topk_rows(sims[None, :], qids_l[qi : qi + 1], sub, k, True))
+        return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "sim", "rank"]).astype(
+            {"vec_id": np.int64, "neighbor_id": np.int64, "rank": np.int64}
+        )
 
-    partial = embeddings.map_batches(
-        CellScorer, batch_format="pandas", batch_size=4096, concurrency=(1, available_cpus())
-    )
+    partial = embeddings.map_batches(cell_scorer, batch_format="pandas", batch_size=4096)
 
     def _reduce(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)

@@ -106,37 +106,29 @@ def lang_id(ds: rd.Dataset) -> rd.Dataset:
     pytest determinism check)."""
     profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items() if v}
 
-    class LangId:
-        def __init__(self):
-            self.profiles = profiles
+    def _lang_id(df: pd.DataFrame) -> pd.DataFrame:
+        preds, scores = [], []
+        for text in df["text"].fillna(""):
+            if not text:
+                preds.append("und")
+                scores.append(0.0)
+                continue
+            cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+            if cjk / max(len(text), 1) > 0.2:
+                preds.append("zh")
+                scores.append(round(cjk / len(text), 6))
+                continue
+            toks = [t.lower() for t in _WS.split(text.strip())]
+            best, best_score = "und", 0.0
+            for lang, prof in sorted(profiles.items()):
+                s = sum(1 for t in toks if t in prof) / max(len(toks), 1)
+                if s > best_score:
+                    best, best_score = lang, s
+            preds.append(best)
+            scores.append(round(best_score, 6))
+        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds, "lang_score": scores})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            preds, scores = [], []
-            for text in df["text"].fillna(""):
-                if not text:
-                    preds.append("und")
-                    scores.append(0.0)
-                    continue
-                cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
-                if cjk / max(len(text), 1) > 0.2:
-                    preds.append("zh")
-                    scores.append(round(cjk / len(text), 6))
-                    continue
-                toks = [t.lower() for t in _WS.split(text.strip())]
-                best, best_score = "und", 0.0
-                for lang, prof in sorted(self.profiles.items()):
-                    s = sum(1 for t in toks if t in prof) / max(len(toks), 1)
-                    if s > best_score:
-                        best, best_score = lang, s
-                preds.append(best)
-                scores.append(round(best_score, 6))
-            return pd.DataFrame(
-                {"doc_id": df["doc_id"], "lang_pred": preds, "lang_score": scores}
-            )
-
-    from idf.ops import available_cpus
-
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, available_cpus()))
+    return ds.map_batches(_lang_id, batch_format="pandas")
 
 
 def fingerprint_md5(ds: rd.Dataset) -> rd.Dataset:

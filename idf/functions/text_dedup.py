@@ -116,34 +116,33 @@ def ngram_jaccard_pairs(
     sizes_df = shingles.groupby("doc_id").aggregate(Count(alias_name="n_shingles")).to_pandas()
     sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n_shingles"])))
 
-    class _Finalize:
-        def __init__(self):
-            self.sizes = ray.get(sizes_ref)
+    from idf.ops import get_broadcast
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if df.empty:
-                return pd.DataFrame(
-                    {
-                        "doc_id_a": pd.Series([], dtype=np.int64),
-                        "doc_id_b": pd.Series([], dtype=np.int64),
-                        "jaccard": pd.Series([], dtype=np.float64),
-                    }
-                )
-            n_a = df["id_a"].map(self.sizes).to_numpy(np.int64)
-            n_b = df["id_b"].map(self.sizes).to_numpy(np.int64)
-            # raw IEEE double division of exact ints — bit-identical to
-            # the SQL oracle's c*1.0/(na+nb-c), so the value-hash matches
-            jac = df["n_common"].to_numpy(np.int64) / (n_a + n_b - df["n_common"].to_numpy(np.int64))
-            keep = jac >= tau
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
             return pd.DataFrame(
                 {
-                    "doc_id_a": df["id_a"].to_numpy(np.int64)[keep],
-                    "doc_id_b": df["id_b"].to_numpy(np.int64)[keep],
-                    "jaccard": jac[keep],
+                    "doc_id_a": pd.Series([], dtype=np.int64),
+                    "doc_id_b": pd.Series([], dtype=np.int64),
+                    "jaccard": pd.Series([], dtype=np.float64),
                 }
             )
+        sizes = get_broadcast(sizes_ref)
+        n_a = df["id_a"].map(sizes).to_numpy(np.int64)
+        n_b = df["id_b"].map(sizes).to_numpy(np.int64)
+        # raw IEEE double division of exact ints — bit-identical to
+        # the SQL oracle's c*1.0/(na+nb-c), so the value-hash matches
+        jac = df["n_common"].to_numpy(np.int64) / (n_a + n_b - df["n_common"].to_numpy(np.int64))
+        keep = jac >= tau
+        return pd.DataFrame(
+            {
+                "doc_id_a": df["id_a"].to_numpy(np.int64)[keep],
+                "doc_id_b": df["id_b"].to_numpy(np.int64)[keep],
+                "jaccard": jac[keep],
+            }
+        )
 
-    return inter.map_batches(_Finalize, batch_format="pandas", concurrency=(1, available_cpus()))
+    return inter.map_batches(_finalize, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -179,7 +178,7 @@ def minhash_lsh_pairs(
             )
 
     banded = docs.select_columns(["doc_id", "text"]).map_batches(
-        Bander, batch_format="pandas", concurrency=(1, available_cpus())
+        Bander(), batch_format="pandas"
     )
 
     def _verify(g: pd.DataFrame) -> pd.DataFrame:

@@ -168,6 +168,24 @@ def hash_join(
     )
 
 
+_BROADCAST_CACHE: dict = {}
+
+
+def get_broadcast(ref):
+    """Fetch a ``ray.put`` object once per WORKER PROCESS.
+
+    Stateless map tasks run in long-lived worker processes; caching the
+    deserialized broadcast value module-level gives actor-style
+    amortization without an actor pool (which this Ray build schedules
+    poorly in local mode — see stages/hash_stage.py)."""
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _BROADCAST_CACHE:
+        while len(_BROADCAST_CACHE) >= 8:  # bound worker-heap growth
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
 def broadcast_lookup(
     ds: rd.Dataset,
     key: str,
@@ -178,15 +196,12 @@ def broadcast_lookup(
     """Map-side join against a small dict shipped once via ``ray.put``."""
     ref = ray.put(mapping)
 
-    class _Lookup:
-        def __init__(self):
-            self.m = ray.get(ref)
+    def _lookup(df: pd.DataFrame) -> pd.DataFrame:
+        m = get_broadcast(ref)
+        df[out_col] = df[key].map(m).where(df[key].isin(m), default)
+        return df
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df[out_col] = df[key].map(self.m).where(df[key].isin(self.m), default)
-            return df
-
-    return ds.map_batches(_Lookup, batch_format="pandas", concurrency=(1, available_cpus()))
+    return ds.map_batches(_lookup, batch_format="pandas")
 
 
 def broadcast_semi_join(ds: rd.Dataset, key: str, values, negate: bool = False) -> rd.Dataset:
@@ -195,22 +210,17 @@ def broadcast_semi_join(ds: rd.Dataset, key: str, values, negate: bool = False) 
     ``hash_join``; this is the A6-style broadcast (SURVEY §2.4)."""
     ref = ray.put(frozenset(values) if not isinstance(values, ray.ObjectRef) else values)
 
-    class _Filter:
-        def __init__(self):
-            got = ray.get(ref)
-            self.keys = got if isinstance(got, frozenset) else frozenset(got)
+    def _filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        got = get_broadcast(ref)
+        keys = got if isinstance(got, frozenset) else frozenset(got)
+        mask = pc.fill_null(pc.is_in(t[key], value_set=pa.array(list(keys))), False)
+        if negate:
+            mask = pc.invert(mask)
+        return t.filter(mask)
 
-            mask = pc.is_in(t[key], value_set=pa.array(list(self.keys)))
-            if negate:
-                mask = pc.invert(pc.fill_null(mask, False))
-            else:
-                mask = pc.fill_null(mask, False)
-            return t.filter(mask)
-
-    return ds.map_batches(_Filter, batch_format="pyarrow", concurrency=(1, available_cpus()))
+    return ds.map_batches(_filter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -276,13 +276,16 @@ def band_edges(
 
     Pass ``collapse_identical=False`` when the input was NOT
     exact-collapsed and the full pair set (incl. dist-0 pairs) is the
-    output contract (e.g. simhash_pairs)."""
+    output contract (e.g. simhash_pairs).
+
+    The expander runs as STATELESS TASKS (not an actor pool): its state
+    is a tiny mask array rebuilt per task — dedicated actor fleets would
+    only add spin-up latency per stage."""
+    expander = BandExpander(cfg)
     expanded = distinct.map_batches(
-        BandExpander,
-        fn_constructor_kwargs={"cfg": cfg},
+        expander,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, _cpus()),
     )
     from idf.ops import bucketed_apply
 
@@ -319,12 +322,13 @@ class CaptionBander:
 def caption_edges(hashes_ok: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     """Caption-LSH candidates, verified with the phash predicate so the
     cluster partition is unchanged vs the reference semantics (J2)."""
+    # stateless tasks: the MinHasher's permutation arrays are tiny and
+    # ship in the task closure; no actor fleet spin-up per stage
+    bander = CaptionBander(cfg)
     banded = hashes_ok.map_batches(
-        CaptionBander,
-        fn_constructor_kwargs={"cfg": cfg},
+        bander,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, _cpus()),
     )
 
     # identical phash under the same band key dedupes inside the bucket
