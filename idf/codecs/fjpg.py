@@ -99,10 +99,12 @@ def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
 
 
 def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
+    dt = ycc.dtype if ycc.dtype in (np.float32, np.float64) else np.float64
+    c = lambda v: np.asarray(v, dtype=dt)  # noqa: E731 — keep input precision
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - c(128.0), ycc[..., 2] - c(128.0)
+    r = y + c(1.402) * cr
+    g = y - c(0.344136) * cb - c(0.714136) * cr
+    b = y + c(1.772) * cb
     return np.stack([r, g, b], axis=-1)
 
 
@@ -139,12 +141,15 @@ def decode_fjpg(data: bytes) -> np.ndarray:
     nb = ((h + 7) // 8) * ((w + 7) // 8)
     if raw.size != nb * 64 * 3:
         raise ValueError("FJPG payload size mismatch")
-    raw = raw.reshape(3, nb, 8, 8).astype(np.float64)
+    # float32 throughout the decode hot path: coefficients are small
+    # ints and the transform is exact well past 8-bit output precision
+    raw = raw.reshape(3, nb, 8, 8).astype(np.float32)
+    d8 = _D8.astype(np.float32)
     chans = []
     for ci in range(3):
-        q = qy if ci == 0 else qc
-        blocks = _D8.T @ (raw[ci] * q) @ _D8  # batched BLAS inverse DCT
+        q = (qy if ci == 0 else qc).astype(np.float32)
+        blocks = d8.T @ (raw[ci] * q) @ d8  # batched BLAS inverse DCT
         chans.append(_from_blocks(blocks, h, w))
-    ycc = np.stack(chans, axis=-1) + 128.0
+    ycc = np.stack(chans, axis=-1) + np.float32(128.0)
     rgb = _ycbcr_to_rgb(ycc)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

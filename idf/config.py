@@ -30,7 +30,7 @@ class DedupConfig:
     cc_mode: str = "auto"
     cc_driver_max_edges: int = 5_000_000
     # decode stage execution (see stages/hash_stage.py: tasks by default)
-    decode_batch_size: int = 32
+    decode_batch_size: int = 128
     decode_concurrency: int | None = None  # None -> size from cluster CPUs
     decode_actor_pool: bool = False
     seed: int = 42

@@ -24,7 +24,11 @@ def available_cpus(default: int = 4) -> int:
         return default
 
 
-N_BUCKETS_DEFAULT = 64
+# Shuffle-bucket fan-out: enough granularity that (a) every core gets
+# reduce work, (b) in-bucket self-merges stay small (their cost is
+# quadratic in bucket size). 512 measured 6x faster than 64 for the
+# banding stage at 32 CPUs on the sf0.1 corpus.
+N_BUCKETS_DEFAULT = 512
 
 
 def _bucket_of(col: pd.Series, n_buckets: int) -> np.ndarray:

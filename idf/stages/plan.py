@@ -12,6 +12,7 @@ failures carry the reference's unreadable penalty pixels=-1, size=-1
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -30,35 +31,60 @@ PLAN_SCHEMA = pa.schema(
 )
 
 
-def elect_keeper_group(g: pd.DataFrame) -> pd.DataFrame:
+def elect_keeper_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized keeper election over a WHOLE shuffle bucket of
+    clusters: one sort + one cumcount ranks every cluster at once (the
+    per-cluster comparator of Commands.java:212-221, without a python
+    loop over clusters)."""
+    if g.empty:
+        return pd.DataFrame(
+            {
+                "cluster_id": pd.Series([], dtype=object),
+                "action": pd.Series([], dtype=object),
+                "image_id": pd.Series([], dtype=object),
+                "reason": pd.Series([], dtype=object),
+                "pixels": pd.Series([], dtype="int64"),
+                "size": pd.Series([], dtype="int64"),
+            }
+        )
     g = g.assign(__lower=g["image_id"].str.lower()).sort_values(
-        ["pixels", "size", "__lower", "image_id"],
-        ascending=[False, False, True, True],
+        ["cluster_id", "pixels", "size", "__lower", "image_id"],
+        ascending=[True, False, False, True, True],
         kind="mergesort",
     )
-    n = len(g)
-    actions = ["KEEP"] + ["DELETE"] * (n - 1)
-    reasons = [
-        f"{'keeper' if i == 0 else 'dupe'}(pixels={p},size={s})"
-        for i, (p, s) in enumerate(zip(g["pixels"], g["size"]))
-    ]
+    rank = g.groupby("cluster_id", sort=False).cumcount()
+    keep = rank.to_numpy() == 0
+    tag = np.where(keep, "keeper", "dupe")
+    reason = (
+        pd.Series(tag, index=g.index)
+        + "(pixels="
+        + g["pixels"].astype(str)
+        + ",size="
+        + g["size"].astype(str)
+        + ")"
+    )
     return pd.DataFrame(
         {
             "cluster_id": g["cluster_id"].to_numpy(),
-            "action": actions,
+            "action": np.where(keep, "KEEP", "DELETE"),
             "image_id": g["image_id"].to_numpy(),
-            "reason": reasons,
+            "reason": reason.to_numpy(),
             "pixels": g["pixels"].to_numpy(),
             "size": g["size"].to_numpy(),
         }
     )
 
 
+def elect_keeper_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Single-cluster form (kept for tests/oracle parity checks)."""
+    return elect_keeper_bucket(g)
+
+
 def plan_stage(clusters: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
     """clusters (cluster_id, image_id) x meta (image_id, pixels, size)
-    -> plan rows. The join is the distributed hash join; the per-cluster
-    sort is local (groups are near-dup families — tiny)."""
-    from idf.ops import bucketed_group_apply
+    -> plan rows. The join is the distributed hash join; the election is
+    one vectorized pass per shuffle bucket."""
+    from idf.ops import bucketed_apply
 
     joined = hash_join(clusters, meta.select_columns(["image_id", "pixels", "size"]), on="image_id")
-    return bucketed_group_apply(joined, "cluster_id", elect_keeper_group)
+    return bucketed_apply(joined, "cluster_id", elect_keeper_bucket)
