@@ -26,10 +26,10 @@ def _img_run(sf_dir: str) -> str:
     dedup pipeline (once, manifest-resumable). Returns the run dir."""
     from idf.config import DedupConfig
     from idf.pipelines.dedup import run_dedup
-    from idf.synth import ensure_images_cache, sf_from_dir
+    from idf.synth import CACHE_TAG, ensure_images_cache, sf_from_dir
 
     images = ensure_images_cache(sf_dir)
-    run_dir = f"/tmp/idf_cache/run_sf{sf_from_dir(sf_dir)}"
+    run_dir = f"/tmp/idf_cache/run_{CACHE_TAG}_sf{sf_from_dir(sf_dir)}"
     run_dedup(images, run_dir, DedupConfig(), resume=True)
     return run_dir
 

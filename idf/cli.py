@@ -1,0 +1,160 @@
+"""CLI mirroring the reference's subcommand surface (app/CLI.java:13-19:
+hash, cluster, plan, apply — plus run/synth; the `web` UI is out of
+scope per SURVEY §2.1 S10).
+
+Stage I/O is Parquet datasets instead of CSV files; every subcommand
+owns its Ray session (the library never calls ray.init).
+
+  python -m idf.cli synth   --out DIR --families N [--seed S]
+  python -m idf.cli hash    IMAGES_DIR --out DIR [--algo phash]
+  python -m idf.cli cluster RUN_DIR [--radius 10]   (needs prior hash)
+  python -m idf.cli plan    RUN_DIR
+  python -m idf.cli apply   IMAGES_DIR RUN_DIR
+  python -m idf.cli run     IMAGES_DIR RUN_DIR [--algo] [--radius] [--no-resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _cfg(args) -> "object":
+    from idf.config import DedupConfig
+
+    kw = {}
+    if getattr(args, "algo", None):
+        kw["algo"] = args.algo
+    if getattr(args, "radius", None) is not None:
+        kw["radius"] = args.radius
+    return DedupConfig(**kw)
+
+
+def cmd_synth(args) -> int:
+    ray = _ray()
+    from idf.synth import generate_images_table, write_images_table
+
+    os.makedirs(args.out, exist_ok=True)
+    tbl = generate_images_table(args.families, seed=args.seed)
+    write_images_table(tbl, os.path.join(args.out, "images.parquet"))
+    print(f"Wrote {tbl.num_rows} rows -> {args.out}/images.parquet")
+    ray.shutdown()
+    return 0
+
+
+def _partial_run(images: str, run_dir: str, cfg, upto: str, resume: bool = True) -> int:
+    """Run pipeline stages up to (and incl.) the named milestone."""
+    ray = _ray()
+    from idf.pipelines.dedup import run_dedup
+
+    man = run_dedup(
+        images, run_dir, cfg, resume=resume, do_apply=(upto == "apply")
+    )
+    summary = man.summary()
+    milestones = {
+        "hash": ["hashes"],
+        "cluster": ["clusters"],
+        "plan": ["plan"],
+        "apply": ["apply_keep", "apply_quarantine"],
+    }
+    for name in milestones[upto]:
+        info = summary.get(name, {})
+        print(f"{name}: rows={info.get('rows')} wall={info.get('wall_sec')}s -> {man.stage_dir(name)}")
+    ray.shutdown()
+    return 0
+
+
+def cmd_hash(args) -> int:
+    # the reference `hash` stops after hashes.csv; here after the hashes
+    # stage (later subcommands resume from the same run dir)
+    ray = _ray()
+    from idf.stages.hash_stage import hash_stage, read_images
+    from idf.state.manifest import RunManifest
+
+    man = RunManifest(args.out, resume=not args.no_resume)
+    cfg = _cfg(args)
+    man.run_stage(
+        "hashes",
+        lambda: hash_stage(
+            read_images(args.images, columns=["image_id", "bytes", "fmt", "caption"]), cfg
+        ),
+    )
+    info = man.summary()["hashes"]
+    print(f"Hashed {info['rows']} rows in {info['wall_sec']}s -> {man.stage_dir('hashes')}")
+    ray.shutdown()
+    return 0
+
+
+def cmd_cluster(args) -> int:
+    return _partial_run(args.images, args.run_dir, _cfg(args), "cluster")
+
+
+def cmd_plan(args) -> int:
+    return _partial_run(args.images, args.run_dir, _cfg(args), "plan")
+
+
+def cmd_apply(args) -> int:
+    return _partial_run(args.images, args.run_dir, _cfg(args), "apply")
+
+
+def cmd_run(args) -> int:
+    rc = _partial_run(args.images, args.run_dir, _cfg(args), "apply", resume=not args.no_resume)
+    with open(os.path.join(args.run_dir, "manifest.json")) as f:
+        man = json.load(f)
+    print(json.dumps({k: v.get("rows") for k, v in man["stages"].items()}, indent=1))
+    return rc
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="idf", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="generate a synthetic images table")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--families", type=int, default=50)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.set_defaults(fn=cmd_synth)
+
+    for name, fn, needs_run in [
+        ("hash", cmd_hash, False),
+        ("cluster", cmd_cluster, True),
+        ("plan", cmd_plan, True),
+        ("apply", cmd_apply, True),
+        ("run", cmd_run, True),
+    ]:
+        sp = sub.add_parser(name)
+        sp.add_argument("images", help="images parquet dataset (dir or file)")
+        if needs_run:
+            sp.add_argument("run_dir")
+        else:
+            sp.add_argument("--out", required=True, help="run directory")
+        sp.add_argument("--algo", choices=["ahash", "dhash", "phash"], default=None)
+        sp.add_argument("--radius", type=int, default=None)
+        sp.add_argument("--no-resume", action="store_true")
+        sp.set_defaults(fn=fn)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,6 +53,28 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         raise DecodeError(f"decode failed ({kind}): {exc}") from exc
 
 
+def decode_luma(data: bytes, fmt: str | None = None) -> np.ndarray:
+    """Image bytes -> luma uint8 (H, W) — the hash path's fast lane.
+
+    FJPG decodes only its stored Y channel (ITU-R 601 luma computed at
+    encode time); PNG/BMP decode fully then convert. The whole hashing
+    system (engine, oracle, synthetic phash column) uses THIS path, so
+    hash equality is exact end to end."""
+    from idf.kernels.preprocess import luma601_u8
+
+    kind = sniff(bytes(data[:8]) if not isinstance(data, bytes) else data[:8])
+    if kind is None:
+        raise DecodeError(f"unrecognized image bytes (declared fmt={fmt!r})")
+    try:
+        if kind == "jpg":
+            return _fjpg.decode_fjpg_luma(data)
+        return luma601_u8(decode_png(data) if kind == "png" else decode_bmp(data))
+    except DecodeError:
+        raise
+    except Exception as exc:
+        raise DecodeError(f"decode failed ({kind}): {exc}") from exc
+
+
 def encode(img: np.ndarray, fmt: str, quality: int = 90) -> bytes:
     f = fmt.lower()
     if f == "png":
@@ -68,6 +90,7 @@ __all__ = [
     "ACCEPTED_FORMATS",
     "DecodeError",
     "decode",
+    "decode_luma",
     "encode",
     "sniff",
     "decode_png",

@@ -12,8 +12,12 @@ fidelity metric (BASELINE.json input_hint: PSNR >= 40 dB for lossy).
 It is NOT wire-compatible with JFIF: entropy coding is zlib over the
 quantized coefficients instead of Huffman.
 
-Layout: b"FJPG" | version:u8 | quality:u8 | h:u16 | w:u16 | zlib(int16 coeffs,
-channels Y,Cb,Cr each padded to 8x8 blocks, block-major order).
+Layout (v2): b"FJPG" | version:u8 | quality:u8 | h:u16 | w:u16 |
+3 x (len:u32 | zlib(int16 coeffs)) — one independent stream per channel
+(Y, Cb, Cr; blocks 8x8, block-major). Per-channel streams let the hash
+path decode ONLY the luma channel (``decode_fjpg_luma``), skipping 2/3
+of the inflate and all chroma math — the decode stage is memory-
+bandwidth-bound at high core counts, so traffic is the budget.
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ import zlib
 import numpy as np
 
 MAGIC = b"FJPG"
-_VERSION = 1
+_VERSION = 2
 
 # Standard JPEG Annex K quantization tables (public spec).
 _QY = np.array(
@@ -123,33 +127,69 @@ def encode_fjpg(img: np.ndarray, quality: int = 90) -> bytes:
         coeffs = _D8 @ blocks @ _D8.T  # batched BLAS, (n,8,8)
         q = qy if ci == 0 else qc
         quant = np.round(coeffs / q).astype(np.int16)
-        parts.append(quant.tobytes())
-    payload = zlib.compress(b"".join(parts), 6)
+        z = zlib.compress(quant.tobytes(), 6)
+        parts.append(struct.pack("<I", len(z)) + z)
     head = MAGIC + struct.pack("<BBHH", _VERSION, min(100, max(1, int(quality))), h, w)
-    return head + payload
+    return head + b"".join(parts)
 
 
-def decode_fjpg(data: bytes) -> np.ndarray:
-    """FJPG bytes -> RGB uint8 (H, W, 3)."""
+_D8_F32 = _D8.astype(np.float32)
+
+
+def _parse_header(data: bytes) -> tuple[int, int, int]:
     if data[:4] != MAGIC:
         raise ValueError("not FJPG")
     version, quality, h, w = struct.unpack_from("<BBHH", data, 4)
     if version != _VERSION:
         raise ValueError(f"FJPG version {version} unsupported")
-    qy, qc = _quant_tables(quality)
-    raw = np.frombuffer(zlib.decompress(data[10:]), dtype=np.int16)
-    nb = ((h + 7) // 8) * ((w + 7) // 8)
-    if raw.size != nb * 64 * 3:
-        raise ValueError("FJPG payload size mismatch")
+    return quality, h, w
+
+
+def fjpg_dims(data: bytes) -> tuple[int, int]:
+    """(h, w) from the header alone — no decode."""
+    _, h, w = _parse_header(data)
+    return h, w
+
+
+def _channel_streams(data: bytes) -> list[bytes]:
+    out, pos = [], 10
+    for _ in range(3):
+        (ln,) = struct.unpack_from("<I", data, pos)
+        out.append(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    return out
+
+
+def _decode_channel(z: bytes, q: np.ndarray, h: int, w: int) -> np.ndarray:
     # float32 throughout the decode hot path: coefficients are small
     # ints and the transform is exact well past 8-bit output precision
-    raw = raw.reshape(3, nb, 8, 8).astype(np.float32)
-    d8 = _D8.astype(np.float32)
-    chans = []
-    for ci in range(3):
-        q = (qy if ci == 0 else qc).astype(np.float32)
-        blocks = d8.T @ (raw[ci] * q) @ d8  # batched BLAS inverse DCT
-        chans.append(_from_blocks(blocks, h, w))
+    raw = np.frombuffer(zlib.decompress(z), dtype=np.int16)
+    nb = ((h + 7) // 8) * ((w + 7) // 8)
+    if raw.size != nb * 64:
+        raise ValueError("FJPG payload size mismatch")
+    blocks = raw.reshape(nb, 8, 8).astype(np.float32) * q.astype(np.float32)
+    out = _D8_F32.T @ blocks @ _D8_F32  # batched BLAS inverse DCT
+    return _from_blocks(out, h, w)
+
+
+def decode_fjpg(data: bytes) -> np.ndarray:
+    """FJPG bytes -> RGB uint8 (H, W, 3)."""
+    quality, h, w = _parse_header(data)
+    qy, qc = _quant_tables(quality)
+    streams = _channel_streams(data)
+    chans = [
+        _decode_channel(streams[ci], qy if ci == 0 else qc, h, w) for ci in range(3)
+    ]
     ycc = np.stack(chans, axis=-1) + np.float32(128.0)
     rgb = _ycbcr_to_rgb(ycc)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_fjpg_luma(data: bytes) -> np.ndarray:
+    """FJPG bytes -> luma uint8 (H, W): Y channel only (the stored Y IS
+    the ITU-R 601 luma computed at encode time). Skips 2/3 of the
+    inflate and all chroma transforms — the hash path's fast lane."""
+    quality, h, w = _parse_header(data)
+    qy, _ = _quant_tables(quality)
+    y = _decode_channel(_channel_streams(data)[0], qy, h, w) + np.float32(128.0)
+    return np.clip(np.round(y), 0, 255).astype(np.uint8)

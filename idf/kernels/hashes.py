@@ -104,6 +104,18 @@ def hash_image(img: np.ndarray, algo: str = "phash") -> int:
     return int(kernel(preprocess(img, h, w)[None, ...])[0])
 
 
+def hash_bytes(data: bytes, algo: str = "phash") -> tuple[int, int, int]:
+    """Encoded image bytes -> (hash, h, w) via the luma fast path.
+
+    The single source of truth for hashing stored images: the engine's
+    decode stage, the oracle, and the synthetic corpus's phash column
+    all call this, so hash equality across them is exact."""
+    from idf.codecs import decode_luma
+
+    gray = decode_luma(data)
+    return hash_image(gray, algo), gray.shape[0], gray.shape[1]
+
+
 def hash_gray_batch(gray_stack: np.ndarray, algo: str) -> np.ndarray:
     """Pre-resized gray batch -> (B,) uint64 (engine hot path)."""
     return _SPECS[algo][1](gray_stack)

@@ -27,8 +27,12 @@ def luma601_u8(img: np.ndarray) -> np.ndarray:
     *post-resize* sample and is applied by the hash kernels' quantize
     step, not here.
     """
-    f = img.astype(np.float64)
-    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    f = img.astype(np.float32)  # exact for 8-bit inputs, half the traffic
+    y = (
+        np.float32(0.299) * f[..., 0]
+        + np.float32(0.587) * f[..., 1]
+        + np.float32(0.114) * f[..., 2]
+    )
     return np.clip(np.round(y), 0, 255).astype(np.uint8)
 
 

@@ -30,6 +30,7 @@ import pyarrow as pa
 
 from idf.codecs import ACCEPTED_FORMATS, DecodeError, decode
 from idf.kernels import hash_image, pairwise_hamming
+from idf.kernels.hashes import hash_bytes
 from idf.synth import i64_to_u64
 
 
@@ -50,12 +51,12 @@ def oracle_hash_stage(table: pa.Table, algo: str = "phash") -> OracleHashes:
             continue
         data = row["bytes"]
         try:
-            img = decode(data)
+            h64, ih, iw = hash_bytes(data, algo)
         except DecodeError:
             skipped.append(row["image_id"])
             continue
-        id2hash[row["image_id"]] = hash_image(img, algo)
-        meta[row["image_id"]] = (img.shape[0] * img.shape[1], len(data))
+        id2hash[row["image_id"]] = h64
+        meta[row["image_id"]] = (ih * iw, len(data))
     return OracleHashes(id2hash, meta, skipped)
 
 
@@ -160,11 +161,10 @@ def verify_phash_column(table: pa.Table, algo: str = "phash") -> int:
         if str(row["fmt"]).lower() not in ACCEPTED_FORMATS:
             continue
         try:
-            img = decode(row["bytes"])
+            got, _, _ = hash_bytes(row["bytes"], algo)
         except DecodeError:
             continue
         expect = i64_to_u64(row["phash"])
-        got = hash_image(img, algo)
         if got != expect:
             raise AssertionError(f"phash mismatch for {row['image_id']}: {got} != {expect}")
         n += 1

@@ -74,11 +74,20 @@ def run_dedup(
     cfg = cfg or DedupConfig()
     man = RunManifest(run_dir, resume=resume)
 
-    # 1. decode + hash (only needed columns leave storage; bytes dropped here)
+    from idf.ops import available_cpus
+
+    ncpu = available_cpus()
+    # 1. decode + hash (only needed columns leave storage; bytes dropped
+    # here); read fan-out capped to a few blocks per core
     hashes_dir = man.run_stage(
         "hashes",
         lambda: hash_stage(
-            read_images(images_path, columns=["image_id", "bytes", "fmt", "caption"]), cfg
+            read_images(
+                images_path,
+                columns=["image_id", "bytes", "fmt", "caption"],
+                num_blocks=4 * ncpu,
+            ),
+            cfg,
         ),
     )
     ok_filter = pads.field("status") == "ok"

@@ -59,26 +59,55 @@ class _UnionFind:
 
 
 def components_driver(edges: rd.Dataset) -> pa.Table:
-    """Stream edges into a driver union-find -> (cluster_id, image_id)."""
-    uf = _UnionFind()
-    for batch in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            uf.union(a, b)
-    label: dict[str, str] = {}
-    for node in uf.parent:
-        root = uf.find(node)
-        cur = label.get(root)
-        if cur is None or node < cur:
-            label[root] = node
-    cids, mids = [], []
-    for node in uf.parent:
-        cids.append(label[uf.find(node)])
-        mids.append(node)
-    order = np.argsort(np.array(mids, dtype=object), kind="stable")
+    """Vectorized driver-side connected components -> (cluster_id, image_id).
+
+    Streams edge batches to the driver, factorizes node ids to ints,
+    then runs min-label propagation with pointer jumping — every step a
+    whole-array numpy op, O(E * diameter) with tiny diameters for
+    near-dup graphs. Handles tens of millions of edges in seconds;
+    beyond driver memory, ``components_labelprop`` is the distributed
+    path (cfg.cc_mode)."""
+    import pandas as pd
+
+    parts_a, parts_b = [], []
+    for batch in edges.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        parts_a.append(batch["id_a"].to_pandas())
+        parts_b.append(batch["id_b"].to_pandas())
+    if not parts_a:
+        return pa.table(
+            {"cluster_id": pa.array([], pa.string()), "image_id": pa.array([], pa.string())}
+        )
+    a = pd.concat(parts_a, ignore_index=True)
+    b = pd.concat(parts_b, ignore_index=True)
+    codes, uniques = pd.factorize(pd.concat([a, b], ignore_index=True), sort=False)
+    n = len(uniques)
+    ea = codes[: len(a)]
+    eb = codes[len(a) :]
+
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        edge_min = np.minimum(labels[ea], labels[eb])
+        new = labels.copy()
+        np.minimum.at(new, ea, edge_min)
+        np.minimum.at(new, eb, edge_min)
+        while True:  # pointer jumping to the current root
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, labels):
+            break
+        labels = new
+
+    # deterministic cluster id = lexicographic min image_id per component
+    ids = np.asarray(uniques, dtype=object)
+    df = pd.DataFrame({"root": labels, "image_id": ids})
+    min_id = df.groupby("root", sort=False)["image_id"].transform("min")
+    df = df.assign(cluster_id=min_id).sort_values("image_id", kind="mergesort")
     return pa.table(
         {
-            "cluster_id": pa.array(np.array(cids, dtype=object)[order], pa.string()),
-            "image_id": pa.array(np.array(mids, dtype=object)[order], pa.string()),
+            "cluster_id": pa.array(df["cluster_id"].to_numpy(), pa.string()),
+            "image_id": pa.array(df["image_id"].to_numpy(), pa.string()),
         }
     )
 

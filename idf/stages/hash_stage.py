@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from idf.codecs import ACCEPTED_FORMATS, DecodeError, decode
+from idf.codecs import ACCEPTED_FORMATS, DecodeError, decode_luma
 from idf.config import DedupConfig
 from idf.kernels.hashes import hash_gray_batch, preprocess, resize_dims
 from idf.ops import available_cpus
@@ -62,12 +62,12 @@ class DecodeHasher:
                 status[i] = "skip:fmt"
                 continue
             try:
-                img = decode(blobs[i])
+                gray = decode_luma(blobs[i])  # luma fast path (Y-only for FJPG)
             except DecodeError:
                 status[i] = "skip:decode"
                 continue
-            grays[i] = preprocess(img, *self.dims)
-            pixels[i] = img.shape[0] * img.shape[1]
+            grays[i] = preprocess(gray, *self.dims)
+            pixels[i] = gray.shape[0] * gray.shape[1]
             sizes[i] = len(blobs[i])
             ok[i] = True
         hashes = np.zeros(n, dtype=np.uint64)
@@ -116,8 +116,17 @@ def hash_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     )
 
 
-def read_images(path: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_images(
+    path: str, columns: list[str] | None = None, num_blocks: int | None = None
+) -> rd.Dataset:
     """Source reader (S1/S2 mapping): column-pruned parquet read of the
     images table. ``read_lance`` is the target at scale; the lance wheel
-    is absent in-sandbox so the layout is parquet (SURVEY §7 fallback)."""
-    return rd.read_parquet(path, columns=columns)
+    is absent in-sandbox so the layout is parquet (SURVEY §7 fallback).
+
+    ``num_blocks`` caps the read fan-out: a few blocks per core keeps
+    per-task scheduling cost amortized (hundreds of tiny file-tasks made
+    the decode stage driver-bound at 32 CPUs)."""
+    kw = {}
+    if num_blocks is not None:
+        kw["override_num_blocks"] = num_blocks
+    return rd.read_parquet(path, columns=columns, **kw)

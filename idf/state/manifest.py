@@ -58,10 +58,15 @@ class RunManifest:
         name: str,
         build: Callable[[], rd.Dataset],
         metrics: dict | None = None,
+        coalesce: int | None = None,
     ) -> str:
         """Execute ``build`` -> write parquet atomically -> commit; or skip
         if already committed and resume is on. Returns the stage output
-        directory (read it back with ``ray.data.read_parquet``)."""
+        directory (read it back with ``ray.data.read_parquet``).
+
+        ``coalesce``: cap output partitions (small row-only outputs from
+        a 512-bucket shuffle otherwise fragment into hundreds of tiny
+        files that tax every downstream read)."""
         out = self.stage_dir(name)
         if self.resume and self.is_committed(name):
             return out
@@ -72,6 +77,8 @@ class RunManifest:
         if os.path.exists(out):
             shutil.rmtree(out)
         ds = build()
+        if coalesce is not None:
+            ds = ds.repartition(coalesce)
         ds.write_parquet(tmp)
         os.replace(tmp, out)
         parts = self._partition_lineage(out)

@@ -65,10 +65,14 @@ def _base_image(rng: np.random.Generator) -> np.ndarray:
     for c in range(3):
         base = rng.uniform(40, 200)
         img[..., c] = base
-        for _ in range(int(rng.integers(1, 4))):
-            fx, fy = rng.uniform(0.5, 3.0, 2)
+        # frequencies spanning the pHash-visible band (the top-left 8x8
+        # DCT block ~= 0-8 cycles/image): random phases/amplitudes here
+        # decorrelate family hashes so unrelated families sit near the
+        # random-hash distance (~32), like unrelated photos do
+        for _ in range(int(rng.integers(4, 9))):
+            fx, fy = rng.uniform(0.5, 8.0, 2)
             ph = rng.uniform(0, 2 * np.pi)
-            amp = rng.uniform(10, 60)
+            amp = rng.uniform(15, 55)
             img[..., c] += amp * np.sin(2 * np.pi * (fx * xx / w + fy * yy / h) + ph)
     for _ in range(int(rng.integers(2, 6))):
         cx, cy = rng.uniform(0, w), rng.uniform(0, h)
@@ -129,10 +133,11 @@ def _perturb_caption(cap: str, rng: np.random.Generator) -> str:
 
 
 def _row(image_id: str, data: bytes, fmt: str, caption: str) -> dict:
+    from idf.kernels.hashes import hash_bytes
+
     try:
-        img = decode(data)
-        ph = u64_to_i64(hash_image(img, "phash"))
-        h, w = img.shape[:2]
+        ph64, h, w = hash_bytes(data, "phash")
+        ph = u64_to_i64(ph64)
     except Exception:
         ph, h, w = 0, -1, -1
     return {
@@ -217,12 +222,12 @@ def write_images_table(table: pa.Table, path: str) -> None:
 
 
 def families_for_sf(sf: float) -> int:
-    """~4 rows/family; targets ~600/6k/60k images at sf 0.001/0.01/0.1.
+    """~4 rows/family; targets ~2.4k/24k/240k images at sf 0.001/0.01/0.1.
 
     Sized so the bench pipeline at sf0.1 is COMPUTE-dominated (decode +
     DCT work well past the fixed per-stage scheduling overhead) — the
     regime the scaling-efficiency criterion is about."""
-    return max(8, int(round(150_000 * sf)))
+    return max(8, int(round(600_000 * sf)))
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -235,6 +240,11 @@ def sf_from_dir(sf_dir: str) -> float:
     return 0.001
 
 
+# bump when generator/kernels change shape or bytes — keyed into every
+# cache path so stale corpora are never served across code versions
+CACHE_TAG = "v3"
+
+
 def ensure_images_cache(sf_dir: str, seed: int = 42, cache_root: str = "/tmp/idf_cache") -> str:
     """Deterministically generate (once) the images table for an sf dir.
 
@@ -244,7 +254,7 @@ def ensure_images_cache(sf_dir: str, seed: int = 42, cache_root: str = "/tmp/idf
     marker-committed).
     """
     sf = sf_from_dir(sf_dir)
-    out = os.path.join(cache_root, f"images_sf{sf}")
+    out = os.path.join(cache_root, f"images_{CACHE_TAG}_sf{sf}")
     marker = out + ".done"
     if os.path.exists(marker):
         return out
