@@ -22,9 +22,11 @@ import sys
 
 
 def _ray():
+    """Init Ray if nobody else owns the session; returns (ray, owned)."""
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(
             address="local",
             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
@@ -35,7 +37,13 @@ def _ray():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    return ray
+
+    class _Handle:
+        def shutdown(self):
+            if owned:
+                ray.shutdown()
+
+    return _Handle()
 
 
 def _cfg(args) -> "object":

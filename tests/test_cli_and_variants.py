@@ -1,0 +1,68 @@
+"""CLI surface tests (reference analog: app/CLITest.java) and pipeline
+variants: non-default radius and algo, mirroring the reference run
+configs (.run/Run 'cluster' with low Hamming radius=2.run.xml)."""
+
+import collections
+
+import pyarrow.parquet as pq
+import pytest
+
+from idf.config import DedupConfig
+from idf.oracle import oracle_end_to_end, oracle_hash_stage
+from idf.pipelines.dedup import read_stage, run_dedup
+
+
+def _partition(rows):
+    comp = collections.defaultdict(set)
+    for cid, mid in rows:
+        comp[cid].add(mid)
+    return {frozenset(v) for v in comp.values()}
+
+
+@pytest.mark.parametrize("radius", [2, 5])
+def test_radius_variants_match_oracle(ray_session, small_images_table, tmp_path, radius):
+    run_dir = str(tmp_path / f"r{radius}")
+    cfg = DedupConfig(radius=radius)
+    run_dedup(small_images_table, run_dir, cfg, resume=False, do_apply=False)
+    got = _partition(
+        (r["cluster_id"], r["image_id"])
+        for r in read_stage(run_dir, "clusters").to_pandas().to_dict("records")
+    )
+    table = pq.read_table(small_images_table)
+    _, comps, _ = oracle_end_to_end(table, radius=radius)
+    assert got == {c for c in comps if len(c) >= 2}
+
+
+@pytest.mark.parametrize("algo", ["ahash", "dhash"])
+def test_algo_variants_match_oracle(ray_session, small_images_table, tmp_path, algo):
+    run_dir = str(tmp_path / algo)
+    cfg = DedupConfig(algo=algo, radius=5, caption_lsh=False)
+    run_dedup(small_images_table, run_dir, cfg, resume=False, do_apply=False)
+    got = _partition(
+        (r["cluster_id"], r["image_id"])
+        for r in read_stage(run_dir, "clusters").to_pandas().to_dict("records")
+    )
+    table = pq.read_table(small_images_table)
+    oh = oracle_hash_stage(table, algo=algo)
+    from idf.oracle import oracle_components
+
+    comps = oracle_components(oh.id2hash, radius=5)
+    assert got == {c for c in comps if len(c) >= 2}
+
+
+def test_cli_end_to_end(ray_session, tmp_path):
+    """synth -> run -> outputs exist; exercised in-process (the CLI owns
+    its Ray session only when none exists)."""
+    from idf.cli import main
+
+    corpus = tmp_path / "corpus"
+    rc = main(["synth", "--out", str(corpus), "--families", "8", "--seed", "5"])
+    assert rc == 0
+    run_dir = tmp_path / "run"
+    rc = main(["run", str(corpus / "images.parquet"), str(run_dir)])
+    assert rc == 0
+    for stage in ("hashes", "clusters", "plan", "apply_keep", "apply_quarantine"):
+        assert (run_dir / stage).is_dir(), stage
+    rc = main(["hash", str(corpus / "images.parquet"), "--out", str(tmp_path / "h2")])
+    assert rc == 0
+    assert (tmp_path / "h2" / "hashes").is_dir()

@@ -1,0 +1,159 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data as rd
+
+from idf.ops import (
+    broadcast_lookup,
+    broadcast_semi_join,
+    bucketed_aggregate,
+    bucketed_apply,
+    bucketed_group_apply,
+    count_by,
+    elect_top1,
+    exact_dedup,
+    filter_min_group_size,
+    hash_join,
+)
+
+
+@pytest.fixture(scope="module")
+def tables(ray_session, rng):
+    n = 2000
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 300, n),
+            "v": rng.normal(size=n),
+            "tag": rng.choice(list("abc"), n),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.arange(300),
+            "name": [f"n{i}" for i in range(300)],
+            "v": rng.normal(size=300),  # overlapping non-key column
+        }
+    )
+    return left, right
+
+
+def test_hash_join_inner_matches_pandas(tables):
+    left, right = tables
+    got = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k")
+        .to_pandas()
+        .sort_values(["k", "v", "name"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="inner", suffixes=("", "_r"))
+        .sort_values(["k", "v", "name"])
+        .reset_index(drop=True)
+    )
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_like=True
+    )
+
+
+def test_hash_join_left(tables):
+    left, right = tables
+    small_right = right[right["k"] < 100]
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(small_right), on="k", how="left").to_pandas()
+    want = left.merge(small_right, on="k", how="left", suffixes=("", "_r"))
+    assert len(got) == len(want)
+    assert got["name"].isna().sum() == want["name"].isna().sum()
+
+
+def test_broadcast_lookup_and_semi_join(tables, ray_session):
+    left, _ = tables
+    ds = rd.from_pandas(left)
+    mapping = {i: f"m{i}" for i in range(0, 300, 2)}
+    out = broadcast_lookup(ds, "k", mapping, "mapped").to_pandas()
+    assert (out["mapped"].notna() == out["k"].isin(mapping)).all()
+
+    keys = set(range(0, 300, 3))
+    semi = broadcast_semi_join(ds, "k", keys).to_pandas()
+    anti = broadcast_semi_join(ds, "k", keys, negate=True).to_pandas()
+    assert set(semi["k"]) <= keys
+    assert not (set(anti["k"]) & keys)
+    assert len(semi) + len(anti) == len(left)
+
+
+def test_elect_top1(tables):
+    left, _ = tables
+    ranked = elect_top1(rd.from_pandas(left), "k", ["v", "tag"], [False, True]).to_pandas()
+    top = ranked[ranked["__rank"] == 0]
+    want = left.sort_values(["v", "tag"], ascending=[False, True]).groupby("k").head(1)
+    got_map = dict(zip(top["k"], top["v"]))
+    want_map = dict(zip(want["k"], want["v"]))
+    assert got_map == want_map
+
+
+def test_filter_min_group_size(tables):
+    left, _ = tables
+    out = filter_min_group_size(rd.from_pandas(left), "k", 10).to_pandas()
+    sizes = left.groupby("k").size()
+    keep = set(sizes[sizes >= 10].index)
+    assert set(out["k"]) == keep
+    assert len(out) == int(sizes[sizes >= 10].sum())
+
+
+def test_exact_dedup(tables):
+    left, _ = tables
+    left = left.assign(rowid=np.arange(len(left)))
+    out = exact_dedup(rd.from_pandas(left), key="k", order_col="rowid").to_pandas()
+    want = left.sort_values("rowid").groupby("k").head(1)
+    assert sorted(out["rowid"]) == sorted(want["rowid"])
+
+
+def test_count_by(tables):
+    left, _ = tables
+    out = count_by(rd.from_pandas(left), "tag").to_pandas().set_index("tag")["n"]
+    want = left.groupby("tag").size()
+    assert dict(out) == dict(want)
+
+
+def test_bucketed_aggregate_matches_pandas(tables):
+    left, _ = tables
+    out = (
+        bucketed_aggregate(
+            rd.from_pandas(left), ["k", "tag"], {"s": ("v", "sum"), "m": ("v", "min")}
+        )
+        .to_pandas()
+        .sort_values(["k", "tag"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.groupby(["k", "tag"])["v"]
+        .agg(s="sum", m="min")
+        .reset_index()
+        .sort_values(["k", "tag"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["k", "tag", "s", "m"]], want)
+
+
+def test_bucketed_apply_covers_all_keys(tables):
+    left, _ = tables
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", sort=False).size().reset_index(name="n")
+
+    out = bucketed_apply(rd.from_pandas(left), "k", bucket_fn).to_pandas()
+    want = left.groupby("k").size()
+    assert dict(zip(out["k"], out["n"])) == dict(want)
+
+
+def test_bucketed_group_apply_per_group(tables):
+    left, _ = tables
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [g["k"].iloc[0]], "vmax": [g["v"].max()]})
+
+    out = bucketed_group_apply(rd.from_pandas(left), "k", per_group).to_pandas()
+    want = left.groupby("k")["v"].max()
+    assert dict(zip(out["k"], out["vmax"])) == pytest.approx(dict(want))
