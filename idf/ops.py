@@ -103,6 +103,22 @@ def bucketed_group_apply(
 # joins
 
 
+def _as_arrow_type(t) -> pa.DataType:
+    """Normalize a Dataset.schema() type entry to an Arrow DataType.
+
+    Arrow-block datasets yield ``pa.DataType`` already; pandas-block
+    datasets (``rd.from_pandas`` or pandas ``map_batches`` output) yield
+    numpy dtypes / Python classes, which ``pa.nulls`` rejects."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+        # numpy object dtype (strings / mixed) and anything unmappable:
+        # pad as string — the per-bucket pandas merge coerces anyway.
+        return pa.string()
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -122,8 +138,8 @@ def hash_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     lschema, rschema = left.schema(), right.schema()
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = dict(zip(lschema.names, map(_as_arrow_type, lschema.types)))
+    rtypes = dict(zip(rschema.names, map(_as_arrow_type, rschema.types)))
     lcols = list(lschema.names)
     overlap = (set(lcols) & set(rschema.names)) - set(keys)
     rname = {c: (c + suffix if c in overlap else c) for c in rschema.names}
@@ -219,6 +235,10 @@ def broadcast_semi_join(ds: rd.Dataset, key: str, values, negate: bool = False) 
 
         got = get_broadcast(ref)
         keys = got if isinstance(got, frozenset) else frozenset(got)
+        if not keys:
+            # pa.array([]) is null-typed and pc.is_in raises on a typed
+            # column; the answer is trivially all-False anyway.
+            return t if negate else t.slice(0, 0)
         mask = pc.fill_null(pc.is_in(t[key], value_set=pa.array(list(keys))), False)
         if negate:
             mask = pc.invert(mask)

@@ -83,6 +83,15 @@ def test_broadcast_lookup_and_semi_join(tables, ray_session):
     assert len(semi) + len(anti) == len(left)
 
 
+def test_broadcast_semi_join_empty_values(tables, ray_session):
+    # zero DELETE ids must not crash the apply stage (ADVICE r1: null-typed
+    # value_set raised ArrowTypeError inside pc.is_in)
+    left, _ = tables
+    ds = rd.from_pandas(left)
+    assert len(broadcast_semi_join(ds, "k", set()).to_pandas()) == 0
+    assert len(broadcast_semi_join(ds, "k", set(), negate=True).to_pandas()) == len(left)
+
+
 def test_elect_top1(tables):
     left, _ = tables
     ranked = elect_top1(rd.from_pandas(left), "k", ["v", "tag"], [False, True]).to_pandas()
