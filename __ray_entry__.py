@@ -81,8 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from idf.ops import count_by, elect_top1, filter_min_group_size, hash_join
 
-    # -- image dedup pipeline (engine-vs-oracle gated in pytest; the
-    #    synthetic images table is not a DuckDB view -> rows-only here)
+    # -- image dedup pipeline. img_clusters/img_plan/img_apply have
+    #    DuckDB oracles over engine-written stage parquet (see
+    #    img_oracle_sql); img_hashes stays rows-only (DCT pHash is not
+    #    SQL-expressible) and is gated by the pytest kernel oracle.
     def img_hashes(sf):
         return _stage(sf, "hashes")
 
@@ -184,11 +186,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return q
 
 
+def img_oracle_sql(sf: str) -> dict[str, str]:
+    """DuckDB oracles for the image stages (r1 verdict fix #3).
+
+    The driver compares Ray vs SQL at sf=0.01. The image pipeline's
+    inputs are the deterministic synthetic corpus (not a driver view),
+    so these re-derive each stage INDEPENDENTLY in SQL (recursive-CTE
+    connected components, window-function election, anti-join apply)
+    from the engine-written parquet of the UPSTREAM stages — the same
+    engine-vs-oracle layering the pytest suite uses. ``queries()`` runs
+    first and populates the run dir via ``_img_run``."""
+    from idf.synth import CACHE_TAG
+
+    run = f"/tmp/idf_cache/run_{CACHE_TAG}_sf{sf}"
+    imgs = f"/tmp/idf_cache/images_{CACHE_TAG}_sf{sf}"
+    edge_files = ", ".join(
+        f"'{run}/{d}/*.parquet'" for d in ("edges_exact", "edges_band", "edges_caption")
+    )
+    return {
+        "img_clusters": f"""
+            WITH RECURSIVE und AS (
+              SELECT id_a AS src, id_b AS dst FROM read_parquet([{edge_files}])
+              UNION
+              SELECT id_b, id_a FROM read_parquet([{edge_files}])
+            ),
+            reach(src, dst) AS (
+              SELECT DISTINCT src, src AS dst FROM und
+              UNION
+              SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+            )
+            SELECT min(dst) AS cluster_id, src AS image_id FROM reach GROUP BY src
+        """,
+        "img_plan": f"""
+            WITH j AS (
+              SELECT c.cluster_id, c.image_id, m.pixels, m."size" AS size
+              FROM read_parquet('{run}/clusters/*.parquet') c
+              JOIN read_parquet('{run}/hashes/*.parquet') m USING (image_id)
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY pixels DESC, size DESC, lower(image_id) ASC, image_id ASC
+              ) AS rn FROM j
+            )
+            SELECT cluster_id,
+                   CASE WHEN rn = 1 THEN 'KEEP' ELSE 'DELETE' END AS action,
+                   image_id,
+                   (CASE WHEN rn = 1 THEN 'keeper' ELSE 'dupe' END)
+                     || '(pixels=' || pixels || ',size=' || size || ')' AS reason,
+                   pixels, size
+            FROM r
+        """,
+        "img_apply": f"""
+            SELECT i.image_id,
+                   CASE WHEN d.image_id IS NULL THEN 'KEEP' ELSE 'DELETE' END AS action
+            FROM read_parquet('{imgs}/*.parquet') i
+            LEFT JOIN (
+              SELECT image_id FROM read_parquet('{run}/plan/*.parquet')
+              WHERE action = 'DELETE'
+            ) d USING (image_id)
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     from idf.functions.text import _STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
     return {
+        **img_oracle_sql("0.01"),
         "orders_top1_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
               SELECT o_custkey, o_orderkey, o_totalprice,

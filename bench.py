@@ -109,8 +109,10 @@ def run_scaling() -> dict:
             env=env,
             capture_output=True,
             text=True,
-            check=True,
         )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-8000:])
+            raise RuntimeError(f"bench child at {n} cpus failed (rc={proc.returncode})")
         out[str(n)] = json.loads(proc.stdout.strip().splitlines()[-1])
     rate_lo = out[str(lo_cpus)]["images_per_sec"]
     rate_hi = out[str(hi_cpus)]["images_per_sec"]

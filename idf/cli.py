@@ -47,13 +47,16 @@ def _ray():
 
 
 def _cfg(args) -> "object":
-    from idf.config import DedupConfig
+    from idf.config import DedupConfig, threshold_to_radius
 
     kw = {}
     if getattr(args, "algo", None):
         kw["algo"] = args.algo
     if getattr(args, "radius", None) is not None:
         kw["radius"] = args.radius
+    elif getattr(args, "threshold", None) is not None:
+        # reference web-UI knob (Commands.java:406-409): 0.95 -> 3
+        kw["radius"] = threshold_to_radius(args.threshold)
     return DedupConfig(**kw)
 
 
@@ -157,6 +160,12 @@ def main(argv=None) -> int:
             sp.add_argument("--out", required=True, help="run directory")
         sp.add_argument("--algo", choices=["ahash", "dhash", "phash"], default=None)
         sp.add_argument("--radius", type=int, default=None)
+        sp.add_argument(
+            "--threshold",
+            type=float,
+            default=None,
+            help="similarity threshold (0,1]; radius = round((1-t)*64); ignored if --radius given",
+        )
         sp.add_argument("--no-resume", action="store_true")
         sp.set_defaults(fn=fn)
 

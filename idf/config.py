@@ -2,7 +2,19 @@
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
+
+
+def threshold_to_radius(threshold: float) -> int:
+    """Similarity threshold (0..1] -> inclusive Hamming radius (M10).
+
+    ``radius = round((1 - threshold) * 64)`` with Java ``Math.round``
+    semantics (floor(x + 0.5)) — app/Commands.java:406-409; the web UI
+    default 0.95 maps to radius 3."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    return int(math.floor((1.0 - threshold) * 64 + 0.5))
 
 
 @dataclass(frozen=True)

@@ -4,8 +4,9 @@
   matmul per batch against a broadcast (``ray.put``) query matrix; the
   baseline required by the task brief, SQL-checkable via DuckDB
   ``list_cosine_similarity``.
-- ``cosine_pairs``: exact near-dup pairs (cosine >= tau) — blocked
-  matmul against the broadcast normalized matrix.
+- ``cosine_pairs``: exact near-dup pairs (cosine >= tau) — bucketed
+  triangle self-join (shard-pair shuffle + per-group matmul); nothing
+  is materialized on the driver or broadcast whole.
 - ``ivf_topk``: the scale path — seeded-sample IVF centroids, coarse
   assign via matmul, probe the ``nprobe`` nearest centroids only.
   Probabilistic recall; pytest measures it against the brute-force
@@ -35,6 +36,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-12)
 
 
+def _collect_query_rows(embeddings: rd.Dataset, qset: set) -> pd.DataFrame:
+    """Filter the (tiny) query-vector rows in Arrow — keeping the
+    embedding column out of pandas-object batches avoids Ray's
+    size-estimation warnings — and collect them on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vals = pa.array(sorted(qset), pa.int64())
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["vec_id"], value_set=vals)).select(["vec_id", "embedding"])
+
+    return embeddings.map_batches(_f, batch_format="pyarrow").to_pandas().sort_values("vec_id")
+
+
 def _topk_rows(sims: np.ndarray, qids, vids: np.ndarray, k: int, exclude_self: bool):
     """sims (nq, n) -> long rows (vec_id, neighbor_id, sim, rank)."""
     rows = []
@@ -45,7 +61,10 @@ def _topk_rows(sims: np.ndarray, qids, vids: np.ndarray, k: int, exclude_self: b
         for idx in order:
             if exclude_self and vids[idx] == qids[qi]:
                 continue
-            rows.append((qids[qi], int(vids[idx]), round(float(s[idx]), 6), cnt + 1))
+            # full-precision sim through the distributed reduce — rounding
+            # here would re-rank ties differently than the SQL oracle
+            # (ADVICE r1); output rounding happens in the final reduce
+            rows.append((qids[qi], int(vids[idx]), float(s[idx]), cnt + 1))
             cnt += 1
             if cnt >= k:
                 break
@@ -63,11 +82,7 @@ def cosine_topk(
     by a final groupby — no full materialization of the big side.
     """
     qset = set(int(q) for q in query_ids)
-    qrows = embeddings.map_batches(
-        lambda df: df[df["vec_id"].isin(qset)][["vec_id", "embedding"]],
-        batch_format="pandas",
-    ).to_pandas()
-    qrows = qrows.sort_values("vec_id")
+    qrows = _collect_query_rows(embeddings, qset)
     qids = qrows["vec_id"].to_numpy(np.int64)
     qmat_ref = ray.put(_normalize(_stack(qrows["embedding"])))
 
@@ -87,42 +102,102 @@ def cosine_topk(
 
     def _reduce(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64), sim=g["sim"].round(6))
         return g
 
     return partial.groupby("vec_id").map_groups(_reduce, batch_format="pandas")
 
 
-def cosine_pairs(embeddings: rd.Dataset, tau: float = 0.9) -> rd.Dataset:
-    """Exact (vec_id_a < vec_id_b, sim >= tau) near-duplicate pairs.
+def cosine_pairs(embeddings: rd.Dataset, tau: float = 0.9, n_shards: int = 8) -> rd.Dataset:
+    """Exact (vec_id_a < vec_id_b, sim >= tau) near-duplicate pairs via a
+    bucketed triangle self-join — no driver materialization, no full
+    broadcast (r1 verdict fix).
 
-    The comparison side is broadcast once (embeddings are the small
-    dimension-64 table here); each streamed batch does one matmul
-    against it. The documented scale path replaces the broadcast with
-    IVF-bucketed pair generation (same verify)."""
-    all_rows = embeddings.select_columns(["vec_id", "embedding"]).to_pandas().sort_values("vec_id")
-    vids_all = all_rows["vec_id"].to_numpy(np.int64)
-    mat_ref = ray.put(_normalize(_stack(all_rows["embedding"])))
+    Each row is assigned shard s = hash(vec_id) % K and replicated to
+    the K unordered shard-pairs {min(s,t), max(s,t)} it participates
+    in; one shuffle co-locates every shard-pair's rows, and each group
+    runs one vectorized matmul over its two sides. Exact all-pairs is
+    inherently O(n²) compute (the SQL oracle is too) — this shape
+    distributes it with bounded group size (rows/K per side) and
+    replication factor K ~ sqrt(#groups); pick K so n/K rows fit a
+    worker. The sub-quadratic scale path is the probabilistic
+    ``ivf_pairs`` below.
+    """
 
-    from idf.ops import get_broadcast
+    import pyarrow as pa
 
-    def pair_scorer(df: pd.DataFrame) -> pd.DataFrame:
-        mat = get_broadcast(mat_ref)
-        b = _normalize(_stack(df["embedding"]))
-        bids = df["vec_id"].to_numpy(np.int64)
-        sims = b @ mat.T  # (batch, n)
-        ii, jj = np.nonzero(sims >= tau)
-        keep = bids[ii] < vids_all[jj]
-        ii, jj = ii[keep], jj[keep]
-        return pd.DataFrame(
-            {
-                "vec_id_a": bids[ii],
-                "vec_id_b": vids_all[jj],
-                "sim": np.round(sims[ii, jj], 6),
-            }
-        ).astype({"vec_id_a": np.int64, "vec_id_b": np.int64})
+    def _expand(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if not n:
+            return t.append_column("shard", pa.array([], pa.int64())).append_column(
+                "pairkey", pa.array([], pa.int64())
+            )
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # stable multiplicative hash -> shard (uncorrelated with id order)
+        with np.errstate(over="ignore"):
+            s = (
+                (vids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+            ).astype(np.int64) % n_shards
+        # per row the K keys {sorted(s, t)} are distinct, so no dedup needed
+        idx = np.tile(np.arange(n, dtype=np.int64), n_shards)
+        keys = np.concatenate(
+            [np.minimum(s, j) * n_shards + np.maximum(s, j) for j in range(n_shards)]
+        )
+        out = t.take(pa.array(idx))
+        out = out.append_column("shard", pa.array(np.tile(s, n_shards)))
+        return out.append_column("pairkey", pa.array(keys))
 
-    return embeddings.map_batches(pair_scorer, batch_format="pandas", batch_size=4096)
+    def _pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pk, sub in g.groupby("pairkey", sort=False):
+            lo, hi = int(pk) // n_shards, int(pk) % n_shards
+            sub = sub.drop_duplicates("vec_id")
+            m = _normalize(_stack(sub["embedding"]))
+            vids = sub["vec_id"].to_numpy(np.int64)
+            shards = sub["shard"].to_numpy(np.int64)
+            if lo == hi:
+                sims = m @ m.T
+                ii, jj = np.nonzero(sims >= tau)
+                keep = vids[ii] < vids[jj]
+            else:
+                a, b = shards == lo, shards == hi
+                if not a.any() or not b.any():
+                    continue
+                sims_ab = m[a] @ m[b].T
+                ai, bi = np.nonzero(sims_ab >= tau)
+                ii = np.where(a)[0][ai]
+                jj = np.where(b)[0][bi]
+                sims = None
+                keep = np.ones(len(ii), dtype=bool)
+            lo_ids = np.minimum(vids[ii], vids[jj])
+            hi_ids = np.maximum(vids[ii], vids[jj])
+            simvals = (m[ii] * m[jj]).sum(axis=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id_a": lo_ids[keep],
+                        "vec_id_b": hi_ids[keep],
+                        "sim": np.round(simvals[keep], 6),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "vec_id_a": pd.Series([], dtype=np.int64),
+                    "vec_id_b": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                }
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return out.astype({"vec_id_a": np.int64, "vec_id_b": np.int64})
+
+    from idf.ops import bucketed_apply
+
+    expanded = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _expand, batch_format="pyarrow"
+    )
+    return bucketed_apply(expanded, "pairkey", _pairs_bucket, n_buckets=max(64, n_shards * n_shards))
 
 
 def ivf_topk(
@@ -145,14 +220,7 @@ def ivf_topk(
     cents_ref = ray.put(cents)
 
     qset = set(int(q) for q in query_ids)
-    qrows = (
-        embeddings.map_batches(
-            lambda df: df[df["vec_id"].isin(qset)][["vec_id", "embedding"]],
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .sort_values("vec_id")
-    )
+    qrows = _collect_query_rows(embeddings, qset)
     qmat = _normalize(_stack(qrows["embedding"]))
     qids = qrows["vec_id"].to_numpy(np.int64)
     probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -181,6 +249,6 @@ def ivf_topk(
 
     def _reduce(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
-        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64), sim=g["sim"].round(6))
 
     return partial.groupby("vec_id").map_groups(_reduce, batch_format="pandas")

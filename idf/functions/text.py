@@ -15,6 +15,9 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+# NOTE: everywhere a SQL oracle uses trim(), the Python path strips
+# SPACES ONLY (str.strip(" ")): DuckDB's trim removes spaces, not \n/\t
+# (ADVICE r1 — .strip() would diverge on edge non-space whitespace).
 _WS = re.compile(r"\s+")
 
 # tiny per-language stopword profiles for the heuristic language-ID
@@ -34,7 +37,7 @@ def token_count(ds: rd.Dataset) -> rd.Dataset:
     Oracle: ``length(regexp_split_to_array(trim(text), '\\s+'))``."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.strip()
+        toks = df["text"].fillna("").str.strip(" ")
         n = toks.map(lambda s: len(_WS.split(s)) if s else 0)
         return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": n.astype(np.int64)})
 
@@ -48,7 +51,7 @@ def quality_score(ds: rd.Dataset) -> rd.Dataset:
     stop = frozenset(_STOPWORDS)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"].fillna("").str.strip()
+        texts = df["text"].fillna("").str.strip(" ")
         tok_lists = texts.map(lambda s: _WS.split(s) if s else [])
         n_tok = tok_lists.map(len).astype(np.int64)
         tot_len = tok_lists.map(lambda ts: sum(len(t) for t in ts)).astype(np.int64)
@@ -81,7 +84,7 @@ def quality_components(ds: rd.Dataset) -> rd.Dataset:
     stop = frozenset(_STOPWORDS)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"].fillna("").str.strip()
+        texts = df["text"].fillna("").str.strip(" ")
         tok_lists = texts.map(lambda s: _WS.split(s) if s else [])
         return pd.DataFrame(
             {
@@ -137,7 +140,7 @@ def fingerprint_md5(ds: rd.Dataset) -> rd.Dataset:
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         fp = df["text"].fillna("").map(
-            lambda s: hashlib.md5(s.strip().lower().encode()).hexdigest()
+            lambda s: hashlib.md5(s.strip(" ").lower().encode()).hexdigest()
         )
         return pd.DataFrame({"doc_id": df["doc_id"], "fp": fp})
 

@@ -20,10 +20,18 @@ import numpy as np
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles of ``text`` -> sorted unique uint64 hashes."""
+def shingle_hashes(text: str, k: int = 3, short: str = "self") -> np.ndarray:
+    """Word k-shingles of ``text`` -> sorted unique uint64 hashes.
+
+    ``short`` controls docs with fewer than k tokens: ``"self"`` (default)
+    emits one whole-text shingle so every doc has a non-empty set (the
+    caption-LSH behavior); ``"drop"`` emits NO shingles — matching the
+    SQL trigram oracle, which produces zero shingles for <k-token docs
+    (ADVICE r1: the two policies diverge exactly there)."""
     toks = text.lower().split()
     if len(toks) < k:
+        if short == "drop":
+            return np.array([], dtype=np.uint64)
         shingles = {" ".join(toks)} if toks else {""}
     else:
         shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
@@ -46,6 +54,8 @@ class MinHasher:
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         """(m,) uint64 shingle hashes -> (num_perm,) uint64 signature."""
+        if shingles.size == 0:  # only reachable under short="drop"
+            return np.full(self.num_perm, _MASK, dtype=np.uint64)
         with np.errstate(over="ignore"):
             vals = (self.a[:, None] * shingles[None, :] + self.b[:, None]) & _MASK
         return vals.min(axis=1)

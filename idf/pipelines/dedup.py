@@ -78,14 +78,17 @@ def run_dedup(
 
     ncpu = available_cpus()
     # 1. decode + hash (only needed columns leave storage; bytes dropped
-    # here); read fan-out capped to a few blocks per core
+    # here); read fan-out targets bytes-per-block, floored at a few
+    # blocks per core (see auto_num_blocks for the 100-TB story)
+    from idf.stages.hash_stage import auto_num_blocks
+
     hashes_dir = man.run_stage(
         "hashes",
         lambda: hash_stage(
             read_images(
                 images_path,
                 columns=["image_id", "bytes", "fmt", "caption"],
-                num_blocks=4 * ncpu,
+                num_blocks=auto_num_blocks(images_path, ncpu),
             ),
             cfg,
         ),

@@ -13,6 +13,8 @@ instead of stderr lines (M9 mapping, Commands.java:81-83).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
@@ -50,6 +52,13 @@ class DecodeHasher:
         fmts = batch["fmt"].to_pylist()
         blobs = batch["bytes"].to_pylist()
         caps = batch["caption"].to_pylist()
+        # optional EXIF orientation column (M1); a source without it is
+        # bit-compatible with the reference's readOrientationSafe() == 1
+        orients = (
+            batch["orientation"].to_pylist() if "orientation" in batch.column_names else None
+        )
+        from idf.kernels.exif import exif_transform
+
         n = len(ids)
         status = ["ok"] * n
         pixels = np.full(n, -1, dtype=np.int64)
@@ -66,6 +75,8 @@ class DecodeHasher:
             except DecodeError:
                 status[i] = "skip:decode"
                 continue
+            if orients is not None and orients[i] is not None:
+                gray = exif_transform(gray, orients[i])
             grays[i] = preprocess(gray, *self.dims)
             pixels[i] = gray.shape[0] * gray.shape[1]
             sizes[i] = len(blobs[i])
@@ -116,17 +127,47 @@ def hash_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     )
 
 
+TARGET_BLOCK_BYTES = 128 << 20  # ~128 MiB of encoded bytes per read task
+
+
+def auto_num_blocks(path: str, ncpu: int, target_block_bytes: int = TARGET_BLOCK_BYTES) -> int:
+    """Bytes-targeted read fan-out (r1 verdict fix: a FIXED 4*ncpu block
+    count means ~800 GB blocks at 100 TB).
+
+    blocks = max(4*ncpu, total_bytes/target): small corpora still get a
+    few blocks per core (per-task scheduling cost stays amortized —
+    hundreds of tiny file-tasks made the decode stage driver-bound at
+    32 CPUs), while at scale the block size is bounded by
+    ``target_block_bytes`` regardless of cluster width."""
+    import pyarrow.dataset as pads
+
+    total = 0
+    try:
+        ds = pads.dataset(path)
+        for f in ds.files:
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass
+    except Exception:
+        total = 0
+    by_bytes = max(1, total // target_block_bytes)
+    return int(max(4 * ncpu, by_bytes))
+
+
 def read_images(
     path: str, columns: list[str] | None = None, num_blocks: int | None = None
 ) -> rd.Dataset:
     """Source reader (S1/S2 mapping): column-pruned parquet read of the
     images table. ``read_lance`` is the target at scale; the lance wheel
-    is absent in-sandbox so the layout is parquet (SURVEY §7 fallback).
-
-    ``num_blocks`` caps the read fan-out: a few blocks per core keeps
-    per-task scheduling cost amortized (hundreds of tiny file-tasks made
-    the decode stage driver-bound at 32 CPUs)."""
+    is absent in-sandbox so the layout is parquet (SURVEY §7 fallback)."""
     kw = {}
     if num_blocks is not None:
         kw["override_num_blocks"] = num_blocks
+    if columns is not None and "orientation" not in columns:
+        # keep the optional EXIF column (M1) when the source has one
+        import pyarrow.dataset as pads
+
+        if "orientation" in pads.dataset(path).schema.names:
+            columns = [*columns, "orientation"]
     return rd.read_parquet(path, columns=columns, **kw)
