@@ -200,15 +200,25 @@ def img_oracle_sql(sf: str) -> dict[str, str]:
 
     run = f"/tmp/idf_cache/run_{CACHE_TAG}_sf{sf}"
     imgs = f"/tmp/idf_cache/images_{CACHE_TAG}_sf{sf}"
-    edge_files = ", ".join(
-        f"'{run}/{d}/*.parquet'" for d in ("edges_exact", "edges_band", "edges_caption")
+    band_files = ", ".join(
+        f"'{run}/{d}/*.parquet'" for d in ("edges_band", "edges_caption")
     )
+    link_files = ", ".join(
+        f"'{run}/{d}/*.parquet'" for d in ("collapse_local", "collapse_global")
+    )
+    # dist-0 link edges live in the collapse stages as kind=1 rows
+    edges_cte = f"""e AS (
+              SELECT id_a, id_b FROM read_parquet([{band_files}])
+              UNION ALL
+              SELECT id_a, id_b FROM read_parquet([{link_files}]) WHERE kind = 1
+            )"""
     return {
         "img_clusters": f"""
-            WITH RECURSIVE und AS (
-              SELECT id_a AS src, id_b AS dst FROM read_parquet([{edge_files}])
+            WITH RECURSIVE {edges_cte},
+            und AS (
+              SELECT id_a AS src, id_b AS dst FROM e
               UNION
-              SELECT id_b, id_a FROM read_parquet([{edge_files}])
+              SELECT id_b, id_a FROM e
             ),
             reach(src, dst) AS (
               SELECT DISTINCT src, src AS dst FROM und

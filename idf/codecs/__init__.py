@@ -75,6 +75,36 @@ def decode_luma(data: bytes, fmt: str | None = None) -> np.ndarray:
         raise DecodeError(f"decode failed ({kind}): {exc}") from exc
 
 
+def decode_luma_scaled(
+    data: bytes, min_dim: int = 32, fmt: str | None = None
+) -> tuple[np.ndarray, int, int]:
+    """Image bytes -> (luma uint8, orig_h, orig_w), downscale-decoded
+    when the codec supports it (FJPG: libjpeg-style k/8 partial iDCT).
+
+    This is the hash path: the hash kernels resize to <= 32x32 anyway,
+    so decoding at >= ``min_dim`` loses nothing they use while cutting
+    memory traffic ~(8/k)^2 — what makes the decode stage scale past
+    the DRAM-bandwidth knee. PNG/BMP have no scaled path and decode
+    fully. The whole hashing system (engine, oracle, synthetic phash
+    column) uses THIS path, so hash equality is exact end to end."""
+    from idf.kernels.preprocess import luma601_u8
+
+    kind = sniff(bytes(data[:8]) if not isinstance(data, bytes) else data[:8])
+    if kind is None:
+        raise DecodeError(f"unrecognized image bytes (declared fmt={fmt!r})")
+    try:
+        if kind == "jpg":
+            # FJPG accepts any buffer (memoryview stays zero-copy)
+            return _fjpg.decode_fjpg_luma_scaled(data, min_dim)
+        raw = data if isinstance(data, bytes) else bytes(data)
+        gray = luma601_u8(decode_png(raw) if kind == "png" else decode_bmp(raw))
+        return gray, gray.shape[0], gray.shape[1]
+    except DecodeError:
+        raise
+    except Exception as exc:
+        raise DecodeError(f"decode failed ({kind}): {exc}") from exc
+
+
 def encode(img: np.ndarray, fmt: str, quality: int = 90) -> bytes:
     f = fmt.lower()
     if f == "png":
@@ -91,6 +121,7 @@ __all__ = [
     "DecodeError",
     "decode",
     "decode_luma",
+    "decode_luma_scaled",
     "encode",
     "sniff",
     "decode_png",

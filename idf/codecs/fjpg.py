@@ -12,12 +12,15 @@ fidelity metric (BASELINE.json input_hint: PSNR >= 40 dB for lossy).
 It is NOT wire-compatible with JFIF: entropy coding is zlib over the
 quantized coefficients instead of Huffman.
 
-Layout (v2): b"FJPG" | version:u8 | quality:u8 | h:u16 | w:u16 |
-3 x (len:u32 | zlib(int16 coeffs)) — one independent stream per channel
-(Y, Cb, Cr; blocks 8x8, block-major). Per-channel streams let the hash
-path decode ONLY the luma channel (``decode_fjpg_luma``), skipping 2/3
-of the inflate and all chroma math — the decode stage is memory-
-bandwidth-bound at high core counts, so traffic is the budget.
+Layout (v3): b"FJPG" | version:u8 | quality:u8 | h:u16 | w:u16 |
+3 x (dc_len:u32 | zlib(int16 DC plane) | ac_len:u32 | zlib(int16 AC,
+63/block, block-major)) — one independent DC + AC stream pair per
+channel (Y, Cb, Cr; blocks 8x8). The split mirrors progressive JPEG's
+DC-first scan (public spec): a 1/8-scale luma decode (all a 32x32
+perceptual hash needs for typical photos) inflates ONLY the Y DC plane
+— a few KB instead of the full coefficient stream — so the hash path's
+memory traffic stays tiny and the decode stage scales past the DRAM
+bandwidth knee. v2 (single stream per channel) still decodes.
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ import zlib
 import numpy as np
 
 MAGIC = b"FJPG"
-_VERSION = 2
+_VERSION = 3
 
 # Standard JPEG Annex K quantization tables (public spec).
 _QY = np.array(
@@ -127,8 +130,12 @@ def encode_fjpg(img: np.ndarray, quality: int = 90) -> bytes:
         coeffs = _D8 @ blocks @ _D8.T  # batched BLAS, (n,8,8)
         q = qy if ci == 0 else qc
         quant = np.round(coeffs / q).astype(np.int16)
-        z = zlib.compress(quant.tobytes(), 6)
-        parts.append(struct.pack("<I", len(z)) + z)
+        # progressive-style split: DC plane | AC coefficients
+        dc = np.ascontiguousarray(quant[:, 0, 0])
+        ac = np.ascontiguousarray(quant.reshape(-1, 64)[:, 1:])
+        for payload in (dc, ac):
+            z = zlib.compress(payload.tobytes(), 6)
+            parts.append(struct.pack("<I", len(z)) + z)
     head = MAGIC + struct.pack("<BBHH", _VERSION, min(100, max(1, int(quality))), h, w)
     return head + b"".join(parts)
 
@@ -136,49 +143,69 @@ def encode_fjpg(img: np.ndarray, quality: int = 90) -> bytes:
 _D8_F32 = _D8.astype(np.float32)
 
 
-def _parse_header(data: bytes) -> tuple[int, int, int]:
+def _parse_header(data: bytes) -> tuple[int, int, int, int]:
     if data[:4] != MAGIC:
         raise ValueError("not FJPG")
     version, quality, h, w = struct.unpack_from("<BBHH", data, 4)
-    if version != _VERSION:
+    if version not in (2, 3):
         raise ValueError(f"FJPG version {version} unsupported")
-    return quality, h, w
+    return version, quality, h, w
 
 
 def fjpg_dims(data: bytes) -> tuple[int, int]:
     """(h, w) from the header alone — no decode."""
-    _, h, w = _parse_header(data)
+    _, _, h, w = _parse_header(data)
     return h, w
 
 
-def _channel_streams(data: bytes) -> list[bytes]:
+def _streams(data: bytes, version: int) -> list[tuple[bytes, bytes | None]]:
+    """Per channel: (dc_z, ac_z) for v3, (full_z, None) for v2."""
     out, pos = [], 10
+    n_per = 2 if version == 3 else 1
     for _ in range(3):
-        (ln,) = struct.unpack_from("<I", data, pos)
-        out.append(data[pos + 4 : pos + 4 + ln])
-        pos += 4 + ln
+        pair = []
+        for _ in range(n_per):
+            (ln,) = struct.unpack_from("<I", data, pos)
+            pair.append(data[pos + 4 : pos + 4 + ln])
+            pos += 4 + ln
+        out.append((pair[0], pair[1] if n_per == 2 else None))
     return out
 
 
-def _decode_channel(z: bytes, q: np.ndarray, h: int, w: int) -> np.ndarray:
+def _coeff_blocks(stream: tuple[bytes, bytes | None], version: int, nb: int) -> np.ndarray:
+    """One channel's streams -> int16 (nb, 8, 8) quantized coefficients."""
+    if version == 2:
+        raw = np.frombuffer(zlib.decompress(stream[0]), dtype=np.int16)
+        if raw.size != nb * 64:
+            raise ValueError("FJPG payload size mismatch")
+        return raw.reshape(nb, 8, 8)
+    dc = np.frombuffer(zlib.decompress(stream[0]), dtype=np.int16)
+    ac = np.frombuffer(zlib.decompress(stream[1]), dtype=np.int16)
+    if dc.size != nb or ac.size != nb * 63:
+        raise ValueError("FJPG payload size mismatch")
+    flat = np.empty((nb, 64), dtype=np.int16)
+    flat[:, 0] = dc
+    flat[:, 1:] = ac.reshape(nb, 63)
+    return flat.reshape(nb, 8, 8)
+
+
+def _idct_channel(blocks_i16: np.ndarray, q: np.ndarray, h: int, w: int) -> np.ndarray:
     # float32 throughout the decode hot path: coefficients are small
     # ints and the transform is exact well past 8-bit output precision
-    raw = np.frombuffer(zlib.decompress(z), dtype=np.int16)
-    nb = ((h + 7) // 8) * ((w + 7) // 8)
-    if raw.size != nb * 64:
-        raise ValueError("FJPG payload size mismatch")
-    blocks = raw.reshape(nb, 8, 8).astype(np.float32) * q.astype(np.float32)
+    blocks = blocks_i16.astype(np.float32) * q.astype(np.float32)
     out = _D8_F32.T @ blocks @ _D8_F32  # batched BLAS inverse DCT
     return _from_blocks(out, h, w)
 
 
 def decode_fjpg(data: bytes) -> np.ndarray:
     """FJPG bytes -> RGB uint8 (H, W, 3)."""
-    quality, h, w = _parse_header(data)
+    version, quality, h, w = _parse_header(data)
     qy, qc = _quant_tables(quality)
-    streams = _channel_streams(data)
+    streams = _streams(data, version)
+    nb = ((h + 7) // 8) * ((w + 7) // 8)
     chans = [
-        _decode_channel(streams[ci], qy if ci == 0 else qc, h, w) for ci in range(3)
+        _idct_channel(_coeff_blocks(streams[ci], version, nb), qy if ci == 0 else qc, h, w)
+        for ci in range(3)
     ]
     ycc = np.stack(chans, axis=-1) + np.float32(128.0)
     rgb = _ycbcr_to_rgb(ycc)
@@ -188,8 +215,57 @@ def decode_fjpg(data: bytes) -> np.ndarray:
 def decode_fjpg_luma(data: bytes) -> np.ndarray:
     """FJPG bytes -> luma uint8 (H, W): Y channel only (the stored Y IS
     the ITU-R 601 luma computed at encode time). Skips 2/3 of the
-    inflate and all chroma transforms — the hash path's fast lane."""
-    quality, h, w = _parse_header(data)
+    inflate and all chroma transforms."""
+    version, quality, h, w = _parse_header(data)
     qy, _ = _quant_tables(quality)
-    y = _decode_channel(_channel_streams(data)[0], qy, h, w) + np.float32(128.0)
-    return np.clip(np.round(y), 0, 255).astype(np.uint8)
+    nb = ((h + 7) // 8) * ((w + 7) // 8)
+    y = _idct_channel(_coeff_blocks(_streams(data, version)[0], version, nb), qy, h, w)
+    return np.clip(np.round(y + np.float32(128.0)), 0, 255).astype(np.uint8)
+
+
+_DK = {k: _dct_matrix(k).astype(np.float32) for k in (1, 2, 4)}
+
+
+def decode_fjpg_luma_scaled(data: bytes, min_dim: int = 32) -> tuple[np.ndarray, int, int]:
+    """FJPG bytes -> (luma uint8 at 1/8*k scale, orig_h, orig_w).
+
+    The scaled-decode trick every JPEG thumbnailer uses (libjpeg's
+    ``scale_num/8``, public behavior): an orthonormal k-point iDCT of
+    the top-left k x k coefficients of each 8x8 block yields the block
+    downscaled to k x k, up to the (k/8) DC renormalization. k is the
+    smallest of {1, 2, 4, 8} whose output still covers ``min_dim`` in
+    both axes, so a perceptual hash needing a 32x32 input never
+    upsamples. At k == 1 on a v3 stream this touches ONLY the zlib'd DC
+    plane (progressive JPEG's DC scan, a few KB) — the hash stage is
+    bandwidth-bound at high core counts, and this is what makes it
+    scale with cores.
+    """
+    version, quality, h, w = _parse_header(data)
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+    k = 8
+    for cand in (1, 2, 4):
+        if min(hb, wb) * cand >= min_dim:
+            k = cand
+            break
+    qy, _ = _quant_tables(quality)
+    stream = _streams(data, version)[0]
+    if k == 8:
+        nb = hb * wb
+        y = _idct_channel(_coeff_blocks(stream, version, nb), qy, h, w)
+        return np.clip(np.round(y + np.float32(128.0)), 0, 255).astype(np.uint8), h, w
+    if k == 1 and version == 3:
+        dc = np.frombuffer(zlib.decompress(stream[0]), dtype=np.int16)
+        if dc.size != hb * wb:
+            raise ValueError("FJPG payload size mismatch")
+        full = dc.astype(np.float32).reshape(hb, wb) * np.float32(qy[0, 0] / 8.0)
+    else:
+        blocks = _coeff_blocks(stream, version, hb * wb)
+        co = blocks[:, :k, :k].astype(np.float32) * qy[:k, :k].astype(np.float32)
+        dk = _DK[k]
+        small = (dk.T @ co @ dk) * np.float32(k / 8.0)  # (nb, k, k)
+        full = small.reshape(hb, wb, k, k).transpose(0, 2, 1, 3).reshape(hb * k, wb * k)
+    # crop pad-only output rows/cols (partial-block pixels stay: they are
+    # low-pass estimates, fine for hashing)
+    oh, ow = max(1, -(-h * k // 8)), max(1, -(-w * k // 8))
+    y = full[:oh, :ow] + np.float32(128.0)
+    return np.clip(np.round(y), 0, 255).astype(np.uint8), h, w

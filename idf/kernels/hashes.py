@@ -97,6 +97,14 @@ _SPECS = {
 }
 HASHERS = tuple(_SPECS)
 
+# Minimum decoded-luma dimension per algo for the scaled-decode fast
+# path. pHash reads only the top-left 8x8 of the 32x32 DCT — spatial
+# frequencies up to 8 cycles/image — so any decode scale preserving
+# >= 16 px (2x the highest frequency it uses) is information-
+# sufficient; the 32x32 kernel input is then a bilinear resample of
+# that. aHash/dHash sample at 8/9 px directly.
+DECODE_MIN_DIM = {"ahash": 8, "dhash": 9, "phash": 16}
+
 
 def hash_image(img: np.ndarray, algo: str = "phash") -> int:
     """Single RGB/gray uint8 image -> 64-bit hash (python int, unsigned)."""
@@ -105,15 +113,16 @@ def hash_image(img: np.ndarray, algo: str = "phash") -> int:
 
 
 def hash_bytes(data: bytes, algo: str = "phash") -> tuple[int, int, int]:
-    """Encoded image bytes -> (hash, h, w) via the luma fast path.
+    """Encoded image bytes -> (hash, orig_h, orig_w) via the
+    scaled-luma fast path (codecs.decode_luma_scaled).
 
     The single source of truth for hashing stored images: the engine's
     decode stage, the oracle, and the synthetic corpus's phash column
     all call this, so hash equality across them is exact."""
-    from idf.codecs import decode_luma
+    from idf.codecs import decode_luma_scaled
 
-    gray = decode_luma(data)
-    return hash_image(gray, algo), gray.shape[0], gray.shape[1]
+    gray, oh, ow = decode_luma_scaled(data, min_dim=DECODE_MIN_DIM[algo])
+    return hash_image(gray, algo), oh, ow
 
 
 def hash_gray_batch(gray_stack: np.ndarray, algo: str) -> np.ndarray:

@@ -46,24 +46,6 @@ def _read(path: str, **kw) -> rd.Dataset:
     return rd.read_parquet(path, **kw)
 
 
-def _edges_norm(ds: rd.Dataset, dist_from_kind: bool = False) -> rd.Dataset:
-    import numpy as np
-    import pyarrow as pa
-
-    def f(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "id_a": t["id_a"],
-                "id_b": t["id_b"],
-                "dist": pa.array(np.zeros(len(t), dtype=np.int32))
-                if dist_from_kind
-                else t["dist"],
-            }
-        )
-
-    return ds.map_batches(f, batch_format="pyarrow")
-
-
 def run_dedup(
     images_path: str,
     run_dir: str,
@@ -119,24 +101,14 @@ def run_dedup(
         ),
     )
 
-    # 3a. dist-0 edges from both collapse levels
-    man.run_stage(
-        "edges_exact",
-        lambda: _edges_norm(
-            _read(local_dir, filter=pads.field("kind") == KIND_EDGE).union(
-                _read(collapsed_dir, filter=pads.field("kind") == KIND_EDGE)
-            ),
-            dist_from_kind=True,
-        ),
-    )
-    # 3b. pigeonhole banding over globally distinct hashes
+    # 3a. pigeonhole banding over globally distinct hashes
     man.run_stage(
         "edges_band",
         lambda: band_edges(
             _read(collapsed_dir, filter=pads.field("kind") == KIND_DISTINCT), cfg
         ),
     )
-    # 3c. caption MinHash-LSH candidates (verified by the phash predicate)
+    # 3b. caption MinHash-LSH candidates (verified by the phash predicate)
     if cfg.caption_lsh:
         man.run_stage(
             "edges_caption",
@@ -149,18 +121,20 @@ def run_dedup(
         )
 
     # 4. connected components -> clusters (singletons fall out naturally:
-    #    only edge-participating nodes appear; Commands.java:149-151 analog)
-    edge_dirs = [man.stage_dir("edges_exact"), man.stage_dir("edges_band")]
+    #    only edge-participating nodes appear; Commands.java:149-151 analog).
+    #    dist-0 edges come straight from the collapse stages' KIND_EDGE
+    #    rows — no separate exact-edges stage or barrier.
+    edge_sources = [
+        (man.stage_dir("edges_band"), None),
+        (local_dir, int(KIND_EDGE)),
+        (collapsed_dir, int(KIND_EDGE)),
+    ]
     if cfg.caption_lsh:
-        edge_dirs.append(man.stage_dir("edges_caption"))
+        edge_sources.insert(1, (man.stage_dir("edges_caption"), None))
 
-    def _build_clusters() -> rd.Dataset:
-        edges = _read(edge_dirs[0])
-        for d in edge_dirs[1:]:
-            edges = edges.union(_read(d))
-        return connected_components(edges, cfg)
-
-    clusters_dir = man.run_stage("clusters", _build_clusters)
+    clusters_dir = man.run_stage(
+        "clusters", lambda: connected_components(None, cfg, parquet_sources=edge_sources)
+    )
 
     # 5. keeper election
     man.run_stage(

@@ -158,48 +158,6 @@ class BandExpander:
         )
 
 
-def _emit_pairs(
-    ids: np.ndarray, hashes_u64: np.ndarray, radius: int, cap: int
-) -> pd.DataFrame:
-    """Exact chunked pairwise verify inside one bucket; ids assumed
-    distinct-hash representatives. Never truncates: oversized buckets
-    just run in more chunks."""
-    empty = pd.DataFrame(
-        {
-            "id_a": pd.Series([], dtype=object),
-            "id_b": pd.Series([], dtype=object),
-            "dist": pd.Series([], dtype=np.int32),
-        }
-    )
-    k = len(ids)
-    if k < 2:
-        return empty
-    order = np.argsort(ids, kind="stable")
-    ids, hashes_u64 = ids[order], hashes_u64[order]
-    chunk = max(1, min(k, max(64, cap * cap // max(k, 1))))
-    out_a, out_b, out_d = [], [], []
-    for i0 in range(0, k, chunk):
-        i1 = min(k, i0 + chunk)
-        xor = hashes_u64[i0:i1, None] ^ hashes_u64[None, :]
-        d = popcount64(xor)
-        ii, jj = np.nonzero(d <= radius)
-        keep = (ii + i0) < jj  # upper triangle only -> id_a < id_b by sort
-        ii, jj = ii[keep], jj[keep]
-        out_a.append(ids[ii + i0])
-        out_b.append(ids[jj])
-        out_d.append(d[ii, jj])
-    a = np.concatenate(out_a)
-    if len(a) == 0:
-        return empty
-    return pd.DataFrame(
-        {
-            "id_a": a,
-            "id_b": np.concatenate(out_b),
-            "dist": np.concatenate(out_d).astype(np.int32),
-        }
-    )
-
-
 _EMPTY_EDGES = {
     "id_a": object,
     "id_b": object,
@@ -214,8 +172,14 @@ def _empty_edges() -> pd.DataFrame:
 def make_bucket_pairs_fn(radius: int, cap: int, collapse_identical: bool = True):
     """Whole-bucket pair emitter over (key, image_id, phash) rows.
 
-    Small keys (<= cap rows) are handled in ONE vectorized self-merge +
-    popcount across the entire bucket; oversized keys fall back to the
+    All-numpy kernel (r1 was a pandas object-string self-merge that
+    burned ~1300 CPU-seconds at sf0.1 — 20x this version): ids are
+    factorized to per-bucket int codes ONCE (sorted-unique, so code
+    order == lexicographic id order), collision groups come from one
+    lexsort + boundary diff, intra-group pairs are generated by the
+    stride trick (pair (i, i+d) for d = 1..group_size-1, vectorized
+    across ALL groups per stride), and pair dedup is one np.unique on
+    packed code pairs. Groups larger than ``cap`` fall back to the
     chunked exact kernel. Never truncates.
 
     ``collapse_identical``: drop same-(key, phash) duplicates, keeping
@@ -226,47 +190,94 @@ def make_bucket_pairs_fn(radius: int, cap: int, collapse_identical: bool = True)
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
             return _empty_edges()
-        g = g.sort_values("image_id", kind="mergesort")
+        uniq_ids, codes = np.unique(g["image_id"].to_numpy(dtype=object), return_inverse=True)
+        codes = codes.astype(np.int64)
+        keys = g["key"].to_numpy(np.int64)
+        hashes = g["phash"].to_numpy(np.int64).view(np.uint64)
+
+        # sort by (key, phash, code): groups become contiguous runs and
+        # identical (key, phash) rows adjacent with the min id first
+        order = np.lexsort((codes, hashes.view(np.int64), keys))
+        keys, hashes, codes = keys[order], hashes[order], codes[order]
         if collapse_identical:
-            g = g.drop_duplicates(["key", "phash"])
-        counts = g["key"].value_counts()
-        n = g["key"].map(counts)
-        outs = []
-        small = g[(n >= 2) & (n <= cap)]
-        if len(small):
-            m = small.merge(small, on="key")
-            m = m[m["image_id_x"] < m["image_id_y"]]
-            if len(m):
-                hx = m["phash_x"].to_numpy(np.int64).view(np.uint64)
-                hy = m["phash_y"].to_numpy(np.int64).view(np.uint64)
-                d = popcount64(np.bitwise_xor(hx, hy))
-                keep = d <= radius
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": m["image_id_x"].to_numpy(dtype=object)[keep],
-                            "id_b": m["image_id_y"].to_numpy(dtype=object)[keep],
-                            "dist": d[keep].astype(np.int32),
-                        }
-                    )
-                )
-        big = g[n > cap]
-        for _, sub in big.groupby("key", sort=False):
-            outs.append(
-                _emit_pairs(
-                    sub["image_id"].to_numpy(dtype=object),
-                    sub["phash"].to_numpy(np.int64).view(np.uint64),
-                    radius,
-                    cap,
-                )
-            )
-        if not outs:
+            first = np.ones(len(keys), dtype=bool)
+            first[1:] = (keys[1:] != keys[:-1]) | (hashes[1:] != hashes[:-1])
+            keys, hashes, codes = keys[first], hashes[first], codes[first]
+        n = len(keys)
+        if n < 2:
             return _empty_edges()
-        out = pd.concat(outs, ignore_index=True)
-        # same pair can surface from several keys within this bucket
-        return out.drop_duplicates(["id_a", "id_b"], ignore_index=True)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        gid = np.repeat(np.arange(len(starts)), counts)  # group index per row
+
+        out_a, out_b, out_d = [], [], []
+        small_max = int(min(cap, counts.max()))
+        # stride trick over small groups: total work sum(c_g * max_c) is
+        # within ~2x of the true pair count when groups are small
+        for d in range(1, small_max):
+            if d >= n:
+                break
+            i = np.flatnonzero((gid[:-d] == gid[d:]) & (counts[gid[:-d]] <= cap))
+            if len(i) == 0:
+                continue
+            j = i + d
+            dist = popcount64(hashes[i] ^ hashes[j])
+            keep = dist <= radius
+            if keep.any():
+                ca, cb = codes[i[keep]], codes[j[keep]]
+                out_a.append(np.minimum(ca, cb))
+                out_b.append(np.maximum(ca, cb))
+                out_d.append(dist[keep])
+        # oversized groups: chunked exact kernel (rare; skew-capped)
+        for gi in np.flatnonzero(counts > cap):
+            s, c = starts[gi], counts[gi]
+            sub = _emit_pairs_codes(codes[s : s + c], hashes[s : s + c], radius, cap)
+            if sub is not None:
+                out_a.append(sub[0])
+                out_b.append(sub[1])
+                out_d.append(sub[2])
+        if not out_a:
+            return _empty_edges()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        dist = np.concatenate(out_d)
+        # dedup pairs surfacing from several keys: unique on packed codes
+        packed = (a << np.int64(32)) | b
+        _, idx = np.unique(packed, return_index=True)
+        return pd.DataFrame(
+            {
+                "id_a": uniq_ids[a[idx]],
+                "id_b": uniq_ids[b[idx]],
+                "dist": dist[idx].astype(np.int32),
+            }
+        )
 
     return fn
+
+
+def _emit_pairs_codes(codes: np.ndarray, hashes_u64: np.ndarray, radius: int, cap: int):
+    """Chunked exact pairwise verify for one oversized group; returns
+    (code_a, code_b, dist) arrays with code_a < code_b, or None."""
+    k = len(codes)
+    if k < 2:
+        return None
+    chunk = max(64, min(k, cap * cap // max(k, 1)))
+    out_a, out_b, out_d = [], [], []
+    for i0 in range(0, k, chunk):
+        i1 = min(k, i0 + chunk)
+        xor = hashes_u64[i0:i1, None] ^ hashes_u64[None, :]
+        d = popcount64(xor)
+        ii, jj = np.nonzero(d <= radius)
+        keep = (ii + i0) < jj  # upper triangle only
+        ii, jj = ii[keep], jj[keep]
+        if len(ii):
+            ca, cb = codes[ii + i0], codes[jj]
+            out_a.append(np.minimum(ca, cb))
+            out_b.append(np.maximum(ca, cb))
+            out_d.append(d[ii, jj])
+    if not out_a:
+        return None
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_d)
 
 
 def band_edges(

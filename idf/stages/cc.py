@@ -79,37 +79,8 @@ def components_driver(edges: rd.Dataset) -> pa.Table:
         )
     a = pd.concat(parts_a, ignore_index=True)
     b = pd.concat(parts_b, ignore_index=True)
-    codes, uniques = pd.factorize(pd.concat([a, b], ignore_index=True), sort=False)
-    n = len(uniques)
-    ea = codes[: len(a)]
-    eb = codes[len(a) :]
-
-    labels = np.arange(n, dtype=np.int64)
-    while True:
-        edge_min = np.minimum(labels[ea], labels[eb])
-        new = labels.copy()
-        np.minimum.at(new, ea, edge_min)
-        np.minimum.at(new, eb, edge_min)
-        while True:  # pointer jumping to the current root
-            jumped = new[new]
-            if np.array_equal(jumped, new):
-                break
-            new = jumped
-        if np.array_equal(new, labels):
-            break
-        labels = new
-
-    # deterministic cluster id = lexicographic min image_id per component
-    ids = np.asarray(uniques, dtype=object)
-    df = pd.DataFrame({"root": labels, "image_id": ids})
-    min_id = df.groupby("root", sort=False)["image_id"].transform("min")
-    df = df.assign(cluster_id=min_id).sort_values("image_id", kind="mergesort")
-    return pa.table(
-        {
-            "cluster_id": pa.array(df["cluster_id"].to_numpy(), pa.string()),
-            "image_id": pa.array(df["image_id"].to_numpy(), pa.string()),
-        }
-    )
+    codes, uniques = _factorize_sorted(pd.concat([a, b], ignore_index=True))
+    return _cc_from_codes(codes, uniques, len(a))
 
 
 def components_labelprop(edges: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
@@ -187,13 +158,154 @@ def components_labelprop(edges: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
     )
 
 
-def connected_components(edges: rd.Dataset, cfg=None) -> rd.Dataset:
-    """Dispatch per cfg.cc_mode ('driver' | 'labelprop' | 'auto')."""
+
+def _factorize_sorted(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """factorize + lexicographic relabel. pd.factorize(sort=True) remaps
+    through a full-width sort (~8x slower at 10M rows); hashing unsorted
+    then rank-remapping the (small) unique table is equivalent."""
+    codes, uniques = pd.factorize(series, sort=False)
+    order_u = np.argsort(uniques)
+    ranks = np.empty(len(uniques), dtype=np.int64)
+    ranks[order_u] = np.arange(len(uniques), dtype=np.int64)
+    return ranks[codes], np.asarray(uniques, dtype=object)[order_u]
+
+
+def _cc_from_codes(codes: np.ndarray, uniques, n_edges: int) -> pa.Table:
+    """Min-label propagation + pointer jumping over factorized edges.
+
+    ``uniques`` MUST be lexicographically sorted (factorize(sort=True)):
+    the min LABEL per component is then automatically the min image_id,
+    so no per-component string min is needed at the end.
+
+    The scatter-min uses a once-sorted incidence list +
+    ``np.minimum.reduceat`` — ``np.minimum.at`` (the obvious spelling)
+    is an order of magnitude slower (measured 27s vs ~2s on a 5M-edge
+    graph with a 10k-node component)."""
+    n = len(uniques)
+    e = n_edges
+    codes = np.ascontiguousarray(codes, dtype=np.int64)
+    ea = codes[:e]
+    eb = codes[e:]
+    inc = np.concatenate([ea, eb])
+    order = np.argsort(inc)  # stability not needed for a min-reduce
+    inc_sorted = inc[order]
+    starts = np.flatnonzero(np.r_[True, inc_sorted[1:] != inc_sorted[:-1]])
+    touched = inc_sorted[starts]  # nodes with >= 1 incident edge
+    edge_of = order % e  # incidence position -> owning edge index
+
+    # preallocated scratch (fresh large allocations fault slowly on a
+    # busy hypervisor; reuse keeps the loop resident)
+    la = np.empty(e, dtype=np.int64)
+    lb = np.empty(e, dtype=np.int64)
+    edge_min = np.empty(e, dtype=np.int64)
+    vals = np.empty(2 * e, dtype=np.int64)
+
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        np.take(labels, ea, out=la)
+        np.take(labels, eb, out=lb)
+        np.minimum(la, lb, out=edge_min)
+        np.take(edge_min, edge_of, out=vals)
+        node_min = np.minimum.reduceat(vals, starts)
+        new = labels.copy()
+        new[touched] = np.minimum(new[touched], node_min)
+        while True:  # pointer jumping to the current root
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    ids = np.asarray(uniques, dtype=object)  # already in image_id order
+    return pa.table(
+        {
+            "cluster_id": pa.array(ids[labels], pa.string()),
+            "image_id": pa.array(ids, pa.string()),
+        }
+    )
+
+
+# An edge source: (stage directory, optional `kind` value to filter on).
+# Collapse-stage dirs carry their dist-0 link edges as kind==KIND_EDGE
+# rows, so no separate "exact edges" stage (and its barrier) is needed.
+EdgeSource = tuple[str, int | None]
+
+
+def _source_files(sources: list[EdgeSource]) -> list[tuple[list[str], int | None]]:
+    import glob
+    import os
+
+    return [
+        (sorted(glob.glob(os.path.join(d, "*.parquet"))), kind) for d, kind in sources
+    ]
+
+
+def count_edge_rows(sources: list[EdgeSource]) -> int:
+    """Upper bound on edge count from parquet footers alone — no scan,
+    no Ray job. Kind-filtered sources overcount (footers can't filter),
+    which only errs toward the distributed CC path."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for files, _ in _source_files(sources) for f in files
+    )
+
+
+def _sources_dataset(sources: list[EdgeSource]) -> rd.Dataset:
+    import pyarrow.dataset as pads
+
+    ds = None
+    for d, kind in sources:
+        flt = (pads.field("kind") == kind) if kind is not None else None
+        part = rd.read_parquet(d, columns=["id_a", "id_b"], filter=flt)
+        ds = part if ds is None else ds.union(part)
+    return ds
+
+
+def components_driver_files(sources: list[EdgeSource]) -> pa.Table:
+    """Driver CC straight off local stage parquet.
+
+    ``pyarrow.dataset.to_table`` reads the two id columns ~2.8x faster
+    end-to-end than streaming them through a Ray ``iter_batches`` job
+    (measured 7s vs 20s on 4.5M edges) — for a DRIVER-side algorithm
+    the distributed read machinery is pure overhead."""
+    import pyarrow.dataset as pads
+
+    parts = []
+    for files, kind in _source_files(sources):
+        if not files:
+            continue
+        flt = (pads.field("kind") == kind) if kind is not None else None
+        parts.append(pads.dataset(files).to_table(columns=["id_a", "id_b"], filter=flt))
+    if not parts:
+        return pa.table(
+            {"cluster_id": pa.array([], pa.string()), "image_id": pa.array([], pa.string())}
+        )
+    t = pa.concat_tables(parts)
+    a = t["id_a"].to_pandas()
+    b = t["id_b"].to_pandas()
+    codes, uniques = _factorize_sorted(pd.concat([a, b], ignore_index=True))
+    return _cc_from_codes(codes, uniques, len(a))
+
+
+def connected_components(
+    edges: rd.Dataset | None, cfg=None, parquet_sources: list[EdgeSource] | None = None
+) -> rd.Dataset:
+    """Dispatch per cfg.cc_mode ('driver' | 'labelprop' | 'auto').
+
+    ``parquet_sources``: when the edges already live in local stage
+    parquet (the manifest pipeline), pass (dir, kind-filter) pairs —
+    the driver path then skips the Ray read entirely and the auto-mode
+    edge count comes from parquet footers instead of a count job."""
     mode = getattr(cfg, "cc_mode", "auto") if cfg is not None else "auto"
+    limit = getattr(cfg, "cc_driver_max_edges", 5_000_000) if cfg is not None else 5_000_000
+    if parquet_sources is not None:
+        if mode == "labelprop" or (mode == "auto" and count_edge_rows(parquet_sources) > limit):
+            return components_labelprop(_sources_dataset(parquet_sources))
+        return rd.from_arrow(components_driver_files(parquet_sources))
     if mode == "labelprop":
         return components_labelprop(edges)
-    if mode == "auto":
-        limit = getattr(cfg, "cc_driver_max_edges", 5_000_000) if cfg is not None else 5_000_000
-        if edges.count() > limit:
-            return components_labelprop(edges)
+    if mode == "auto" and edges.count() > limit:
+        return components_labelprop(edges)
     return rd.from_arrow(components_driver(edges))

@@ -19,9 +19,9 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from idf.codecs import ACCEPTED_FORMATS, DecodeError, decode_luma
+from idf.codecs import ACCEPTED_FORMATS, DecodeError, decode_luma_scaled
 from idf.config import DedupConfig
-from idf.kernels.hashes import hash_gray_batch, preprocess, resize_dims
+from idf.kernels.hashes import DECODE_MIN_DIM, hash_gray_batch, preprocess, resize_dims
 from idf.ops import available_cpus
 
 HASH_SCHEMA = pa.schema(
@@ -43,6 +43,7 @@ class DecodeHasher:
     def __init__(self, algo: str = "phash"):
         self.algo = algo
         self.dims = resize_dims(algo)
+        self.min_dim = DECODE_MIN_DIM[algo]
         # touch kernel tables so per-actor setup cost is paid here, not
         # in the first batch (DCT matrix, popcount LUT)
         from idf.kernels.hashes import _D32  # noqa: F401
@@ -50,7 +51,9 @@ class DecodeHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
         fmts = batch["fmt"].to_pylist()
-        blobs = batch["bytes"].to_pylist()
+        # zero-copy blob views: to_pylist() would memcpy the entire
+        # bytes column (the whole corpus) into python bytes objects
+        bcol = batch["bytes"].combine_chunks()
         caps = batch["caption"].to_pylist()
         # optional EXIF orientation column (M1); a source without it is
         # bit-compatible with the reference's readOrientationSafe() == 1
@@ -70,16 +73,18 @@ class DecodeHasher:
             if str(fmts[i]).lower() not in ACCEPTED_FORMATS:
                 status[i] = "skip:fmt"
                 continue
+            data = memoryview(bcol[i].as_buffer())
             try:
-                gray = decode_luma(blobs[i])  # luma fast path (Y-only for FJPG)
+                # scaled-luma fast path (Y-only, k/8 partial iDCT for FJPG)
+                gray, oh, ow = decode_luma_scaled(data, min_dim=self.min_dim)
             except DecodeError:
                 status[i] = "skip:decode"
                 continue
             if orients is not None and orients[i] is not None:
                 gray = exif_transform(gray, orients[i])
             grays[i] = preprocess(gray, *self.dims)
-            pixels[i] = gray.shape[0] * gray.shape[1]
-            sizes[i] = len(blobs[i])
+            pixels[i] = oh * ow  # A4 metadata: ORIGINAL dims, not decode scale
+            sizes[i] = len(data)
             ok[i] = True
         hashes = np.zeros(n, dtype=np.uint64)
         if ok.any():

@@ -80,11 +80,45 @@ def elect_keeper_group(g: pd.DataFrame) -> pd.DataFrame:
     return elect_keeper_bucket(g)
 
 
-def plan_stage(clusters: rd.Dataset, meta: rd.Dataset) -> rd.Dataset:
+def plan_stage(
+    clusters: rd.Dataset, meta: rd.Dataset, broadcast_max_rows: int = 5_000_000
+) -> rd.Dataset:
     """clusters (cluster_id, image_id) x meta (image_id, pixels, size)
-    -> plan rows. The join is the distributed hash join; the election is
-    one vectorized pass per shuffle bucket."""
+    -> plan rows; election is one vectorized pass per shuffle bucket.
+
+    Size-adaptive join (auto, like cc_mode): cluster members are the
+    near-dup MINORITY of the corpus, so below ``broadcast_max_rows``
+    the (pixels, size) metadata they need is shipped once via
+    ``ray.put`` and attached map-side — the whole stage then costs ONE
+    shuffle (the election) instead of two. Past the threshold it falls
+    back to the distributed hash_join."""
     from idf.ops import bucketed_apply
 
-    joined = hash_join(clusters, meta.select_columns(["image_id", "pixels", "size"]), on="image_id")
+    meta = meta.select_columns(["image_id", "pixels", "size"])
+    if meta.count() <= broadcast_max_rows:
+        import ray
+
+        from idf.ops import get_broadcast
+
+        lookup: dict = {}
+        for b in meta.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            lookup.update(
+                zip(
+                    b["image_id"].to_pylist(),
+                    zip(b["pixels"].to_pylist(), b["size"].to_pylist()),
+                )
+            )
+        ref = ray.put(lookup)
+
+        def _attach(df: pd.DataFrame) -> pd.DataFrame:
+            m = get_broadcast(ref)
+            vals = [m.get(i, (-1, -1)) for i in df["image_id"]]
+            df = df.copy()
+            df["pixels"] = np.fromiter((v[0] for v in vals), dtype=np.int64, count=len(vals))
+            df["size"] = np.fromiter((v[1] for v in vals), dtype=np.int64, count=len(vals))
+            return df
+
+        joined = clusters.map_batches(_attach, batch_format="pandas")
+    else:
+        joined = hash_join(clusters, meta, on="image_id")
     return bucketed_apply(joined, "cluster_id", elect_keeper_bucket)

@@ -242,7 +242,7 @@ def sf_from_dir(sf_dir: str) -> float:
 
 # bump when generator/kernels change shape or bytes — keyed into every
 # cache path so stale corpora are never served across code versions
-CACHE_TAG = "v3"
+CACHE_TAG = "v4"
 
 
 def ensure_images_cache(sf_dir: str, seed: int = 42, cache_root: str = "/tmp/idf_cache") -> str:
