@@ -87,6 +87,13 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG data length mismatch")
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
+    if not filters.any():
+        # all rows filter 0 (None) — what our encoder emits; one slice,
+        # no per-scanline python (the general loop below cost ~2.5ms/img)
+        arr = np.ascontiguousarray(raw[:, 1:]).reshape(h, w, c)
+        if c == 1:
+            return np.repeat(arr, 3, axis=2)
+        return np.ascontiguousarray(arr[:, :, :3])
     out = np.zeros((h, w * c), dtype=np.uint8)
     for y in range(h):
         f = filters[y]

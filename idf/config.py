@@ -38,11 +38,14 @@ class DedupConfig:
     # skew control: buckets larger than this are processed in chunked
     # pair-emit passes (exact, never truncated) and reported in metrics
     bucket_cap: int = 4096
-    # connected components: 'driver' union-find | 'labelprop' | 'auto'
+    # connected components: 'driver' union-find | 'labelprop' | 'auto'.
+    # The driver path holds ~10 int64 arrays of len(edges) (~1.6 GB at
+    # 20M edges) — cheap for any head node; labelprop is for edge lists
+    # that genuinely exceed one machine.
     cc_mode: str = "auto"
-    cc_driver_max_edges: int = 5_000_000
+    cc_driver_max_edges: int = 50_000_000
     # decode stage execution (see stages/hash_stage.py: tasks by default)
-    decode_batch_size: int = 128
+    decode_batch_size: int = 512
     decode_concurrency: int | None = None  # None -> size from cluster CPUs
     decode_actor_pool: bool = False
     seed: int = 42

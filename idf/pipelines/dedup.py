@@ -129,21 +129,36 @@ def run_dedup(
         (local_dir, int(KIND_EDGE)),
         (collapsed_dir, int(KIND_EDGE)),
     ]
+    phash_dirs = [man.stage_dir("edges_band")]
     if cfg.caption_lsh:
         edge_sources.insert(1, (man.stage_dir("edges_caption"), None))
+        phash_dirs.append(man.stage_dir("edges_caption"))
 
     clusters_dir = man.run_stage(
-        "clusters", lambda: connected_components(None, cfg, parquet_sources=edge_sources)
-    )
-
-    # 5. keeper election
-    man.run_stage(
-        "plan",
-        lambda: plan_stage(
-            _read(clusters_dir),
-            _read(hashes_dir, columns=["image_id", "pixels", "size"]),
+        "clusters",
+        lambda: connected_components(
+            None,
+            cfg,
+            parquet_sources=edge_sources,
+            phash_edge_dirs=phash_dirs,
+            hashes_dir=hashes_dir,
         ),
     )
+
+    # 5. keeper election (driver fast path below 10M members, else the
+    # distributed broadcast-join + bucketed election)
+    from idf.stages.plan import plan_stage_files
+
+    def _build_plan() -> rd.Dataset:
+        fast = plan_stage_files(clusters_dir, hashes_dir)
+        if fast is not None:
+            return fast
+        return plan_stage(
+            _read(clusters_dir),
+            _read(hashes_dir, columns=["image_id", "pixels", "size"]),
+        )
+
+    man.run_stage("plan", _build_plan)
 
     # 6. apply: keepers/quarantine partition of the input images
     if do_apply:

@@ -39,7 +39,15 @@ from idf.config import DedupConfig
 from idf.kernels.hamming import popcount64
 from idf.kernels.minhash import MinHasher, band_keys, shingle_hashes
 
-EDGE_SCHEMA = pa.schema([("id_a", pa.string()), ("id_b", pa.string()), ("dist", pa.int32())])
+EDGE_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.string()),
+        ("id_b", pa.string()),
+        ("dist", pa.int32()),
+        ("phash_a", pa.int64()),
+        ("phash_b", pa.int64()),
+    ]
+)
 COLLAPSE_SCHEMA = pa.schema(
     [("id_a", pa.string()), ("id_b", pa.string()), ("phash", pa.int64()), ("kind", pa.int8())]
 )
@@ -162,6 +170,8 @@ _EMPTY_EDGES = {
     "id_a": object,
     "id_b": object,
     "dist": np.int32,
+    "phash_a": np.int64,
+    "phash_b": np.int64,
 }
 
 
@@ -194,6 +204,9 @@ def make_bucket_pairs_fn(radius: int, cap: int, collapse_identical: bool = True)
         codes = codes.astype(np.int64)
         keys = g["key"].to_numpy(np.int64)
         hashes = g["phash"].to_numpy(np.int64).view(np.uint64)
+        # each image has ONE phash: code -> hash map for the edge output
+        hash_of_code = np.zeros(len(uniq_ids), dtype=np.uint64)
+        hash_of_code[codes] = hashes
 
         # sort by (key, phash, code): groups become contiguous runs and
         # identical (key, phash) rows adjacent with the min id first
@@ -244,11 +257,16 @@ def make_bucket_pairs_fn(radius: int, cap: int, collapse_identical: bool = True)
         # dedup pairs surfacing from several keys: unique on packed codes
         packed = (a << np.int64(32)) | b
         _, idx = np.unique(packed, return_index=True)
+        a, b, dist = a[idx], b[idx], dist[idx]
         return pd.DataFrame(
             {
-                "id_a": uniq_ids[a[idx]],
-                "id_b": uniq_ids[b[idx]],
-                "dist": dist[idx].astype(np.int32),
+                "id_a": uniq_ids[a],
+                "id_b": uniq_ids[b],
+                "dist": dist.astype(np.int32),
+                # phash endpoints ride along so connected components can
+                # run on the (much smaller) int hash graph
+                "phash_a": hash_of_code[a].view(np.int64),
+                "phash_b": hash_of_code[b].view(np.int64),
             }
         )
 

@@ -159,6 +159,29 @@ def components_labelprop(edges: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
 
 
 
+def _factorize_sorted_arrow(id_a, id_b) -> tuple[np.ndarray, np.ndarray]:
+    """Factorize the concatenated endpoint columns entirely in Arrow
+    C++ (dictionary_encode + sort_indices) — no python string objects.
+
+    At 10M endpoints, pandas factorize materializes millions of python
+    strings; on a hypervisor that throttles fresh allocations that cost
+    dominated the whole clusters stage. Returns (codes int64, uniques
+    object array) with uniques lexicographically sorted."""
+    import pyarrow.compute as pc
+
+    combined = pa.chunked_array(
+        [c for col in (id_a, id_b) for c in (col.chunks if isinstance(col, pa.ChunkedArray) else [col])]
+    ).combine_chunks()
+    enc = pc.dictionary_encode(combined)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = enc.dictionary
+    order_u = pc.array_sort_indices(dictionary).to_numpy(zero_copy_only=False).astype(np.int64)
+    ranks = np.empty(len(dictionary), dtype=np.int64)
+    ranks[order_u] = np.arange(len(dictionary), dtype=np.int64)
+    uniques = np.asarray(dictionary.take(pa.array(order_u)).to_pylist(), dtype=object)
+    return ranks[codes], uniques
+
+
 def _factorize_sorted(series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """factorize + lexicographic relabel. pd.factorize(sort=True) remaps
     through a full-width sort (~8x slower at 10M rows); hashing unsorted
@@ -182,12 +205,25 @@ def _cc_from_codes(codes: np.ndarray, uniques, n_edges: int) -> pa.Table:
     is an order of magnitude slower (measured 27s vs ~2s on a 5M-edge
     graph with a 10k-node component)."""
     n = len(uniques)
-    e = n_edges
     codes = np.ascontiguousarray(codes, dtype=np.int64)
-    ea = codes[:e]
-    eb = codes[e:]
+    labels = _cc_labels(codes[:n_edges], codes[n_edges:], n)
+    ids = np.asarray(uniques, dtype=object)  # already in image_id order
+    return pa.table(
+        {
+            "cluster_id": pa.array(ids[labels], pa.string()),
+            "image_id": pa.array(ids, pa.string()),
+        }
+    )
+
+
+def _cc_labels(ea: np.ndarray, eb: np.ndarray, n: int) -> np.ndarray:
+    """Min-label propagation core: edge endpoint code arrays -> per-node
+    component label (the component's min code)."""
+    e = len(ea)
+    if e == 0 or n == 0:
+        return np.arange(n, dtype=np.int64)
     inc = np.concatenate([ea, eb])
-    order = np.argsort(inc)  # stability not needed for a min-reduce
+    order = np.argsort(inc, kind="stable")  # radix for ints: ~2x quicksort
     inc_sorted = inc[order]
     starts = np.flatnonzero(np.r_[True, inc_sorted[1:] != inc_sorted[:-1]])
     touched = inc_sorted[starts]  # nodes with >= 1 incident edge
@@ -217,11 +253,82 @@ def _cc_from_codes(codes: np.ndarray, uniques, n_edges: int) -> pa.Table:
         if np.array_equal(new, labels):
             break
         labels = new
-    ids = np.asarray(uniques, dtype=object)  # already in image_id order
+    return labels
+
+
+def components_phash_driver(phash_edge_dirs: list[str], hashes_dir: str) -> pa.Table:
+    """Driver CC over the INT phash graph, expanded to image clusters.
+
+    Images with equal phash are the same node by construction (the
+    collapse stages' dist-0 links add no information at hash level), so
+    the component computation runs on ~|distinct hashes| int64 nodes —
+    no python string churn at all. Membership then expands through the
+    hash-stage output: an image joins its phash's component; a phash
+    with no candidate edges still forms a cluster when >= 2 ok images
+    share it (the exact-duplicate case); singleton groups drop
+    (Commands.java:149-151 analog). cluster_id = min member image_id,
+    identical to the id-level CC output."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    files = [f for files, _ in _source_files([(d, None) for d in phash_edge_dirs]) for f in files]
+    if files:
+        te = pads.dataset(files).to_table(columns=["phash_a", "phash_b"])
+        ha = te["phash_a"].to_numpy(zero_copy_only=False)
+        hb = te["phash_b"].to_numpy(zero_copy_only=False)
+    else:
+        ha = hb = np.array([], dtype=np.int64)
+    endpoints = np.concatenate([ha, hb])
+    # hash-based factorize + small-table rank remap: np.unique's
+    # return_inverse argsorts the full 2E array (heavy memory traffic)
+    inv, nodes_u = pd.factorize(endpoints)
+    order_u = np.argsort(nodes_u)
+    ranks = np.empty(len(nodes_u), dtype=np.int64)
+    ranks[order_u] = np.arange(len(nodes_u), dtype=np.int64)
+    inv = ranks[inv]
+    nodes = nodes_u[order_u]
+    labels = _cc_labels(inv[: len(ha)], inv[len(ha) :], len(nodes))
+
+    mt = pads.dataset(
+        [f for files, _ in _source_files([(hashes_dir, None)]) for f in files]
+    ).to_table(columns=["image_id", "phash"], filter=pads.field("status") == "ok")
+    iph = mt["phash"].to_numpy(zero_copy_only=False)
+    m = len(iph)
+    if len(nodes):
+        pos = np.clip(np.searchsorted(nodes, iph), 0, len(nodes) - 1)
+        in_graph = nodes[pos] == iph
+        comp = np.where(in_graph, labels[pos], np.int64(-1))
+    else:
+        in_graph = np.zeros(m, dtype=bool)
+        comp = np.full(m, -1, dtype=np.int64)
+
+    # one int group key per image: edged images use their component
+    # label (in [0, n_nodes)); unedged exact-dup groups get per-phash
+    # keys past n_nodes. All-int from here; the only string op is one
+    # Arrow C++ sort of the image ids.
+    key = comp.copy()
+    unedged = ~in_graph
+    if unedged.any():
+        uinv, _ = pd.factorize(iph[unedged])
+        key[unedged] = len(nodes) + uinv
+    nkeys = int(key.max()) + 1 if m else 0
+    sizes = np.bincount(key, minlength=nkeys)
+
+    ids = mt["image_id"].combine_chunks()
+    id_order = pc.array_sort_indices(ids).to_numpy(zero_copy_only=False).astype(np.int64)
+    perm = id_order[np.argsort(key[id_order], kind="stable")]
+    kperm = key[perm]
+    first = np.r_[True, kperm[1:] != kperm[:-1]] if m else np.array([], dtype=bool)
+    min_row = np.empty(nkeys, dtype=np.int64)
+    min_row[kperm[first]] = perm[first]  # per key: row of its min image_id
+    # output ordered by image_id for determinism
+    keep_rows = np.flatnonzero(sizes[key] >= 2)
+    order_out = pc.array_sort_indices(ids.take(pa.array(keep_rows)))
+    rows = keep_rows[order_out.to_numpy(zero_copy_only=False).astype(np.int64)]
     return pa.table(
         {
-            "cluster_id": pa.array(ids[labels], pa.string()),
-            "image_id": pa.array(ids, pa.string()),
+            "cluster_id": ids.take(pa.array(min_row[key[rows]])),
+            "image_id": ids.take(pa.array(rows)),
         }
     )
 
@@ -242,14 +349,22 @@ def _source_files(sources: list[EdgeSource]) -> list[tuple[list[str], int | None
 
 
 def count_edge_rows(sources: list[EdgeSource]) -> int:
-    """Upper bound on edge count from parquet footers alone — no scan,
-    no Ray job. Kind-filtered sources overcount (footers can't filter),
-    which only errs toward the distributed CC path."""
+    """Exact edge count without a Ray job: parquet footers for
+    unfiltered sources, a kind-column-only local scan for filtered ones
+    (footer num_rows would overcount collapse dirs by their DISTINCT
+    rows — that overcount once tipped auto mode into labelprop)."""
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    return sum(
-        pq.ParquetFile(f).metadata.num_rows for files, _ in _source_files(sources) for f in files
-    )
+    total = 0
+    for files, kind in _source_files(sources):
+        if not files:
+            continue
+        if kind is None:
+            total += sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        else:
+            total += pads.dataset(files).count_rows(filter=pads.field("kind") == kind)
+    return total
 
 
 def _sources_dataset(sources: list[EdgeSource]) -> rd.Dataset:
@@ -283,23 +398,34 @@ def components_driver_files(sources: list[EdgeSource]) -> pa.Table:
             {"cluster_id": pa.array([], pa.string()), "image_id": pa.array([], pa.string())}
         )
     t = pa.concat_tables(parts)
-    a = t["id_a"].to_pandas()
-    b = t["id_b"].to_pandas()
-    codes, uniques = _factorize_sorted(pd.concat([a, b], ignore_index=True))
-    return _cc_from_codes(codes, uniques, len(a))
+    codes, uniques = _factorize_sorted_arrow(t["id_a"], t["id_b"])
+    return _cc_from_codes(codes, uniques, len(t))
 
 
 def connected_components(
-    edges: rd.Dataset | None, cfg=None, parquet_sources: list[EdgeSource] | None = None
+    edges: rd.Dataset | None,
+    cfg=None,
+    parquet_sources: list[EdgeSource] | None = None,
+    phash_edge_dirs: list[str] | None = None,
+    hashes_dir: str | None = None,
 ) -> rd.Dataset:
     """Dispatch per cfg.cc_mode ('driver' | 'labelprop' | 'auto').
 
     ``parquet_sources``: when the edges already live in local stage
     parquet (the manifest pipeline), pass (dir, kind-filter) pairs —
     the driver path then skips the Ray read entirely and the auto-mode
-    edge count comes from parquet footers instead of a count job."""
+    edge count comes from parquet footers instead of a count job.
+    ``phash_edge_dirs`` + ``hashes_dir``: enables the int-graph driver
+    path (components_phash_driver) — preferred when the edge count fits
+    the driver."""
     mode = getattr(cfg, "cc_mode", "auto") if cfg is not None else "auto"
     limit = getattr(cfg, "cc_driver_max_edges", 5_000_000) if cfg is not None else 5_000_000
+    if phash_edge_dirs is not None and hashes_dir is not None and mode != "labelprop":
+        n_edges = count_edge_rows([(d, None) for d in phash_edge_dirs])
+        if mode == "driver" or n_edges <= limit:
+            return rd.from_arrow(components_phash_driver(phash_edge_dirs, hashes_dir))
+        if parquet_sources is not None:
+            return components_labelprop(_sources_dataset(parquet_sources))
     if parquet_sources is not None:
         if mode == "labelprop" or (mode == "auto" and count_edge_rows(parquet_sources) > limit):
             return components_labelprop(_sources_dataset(parquet_sources))

@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray.data as rd
 
 from idf.codecs import ACCEPTED_FORMATS, DecodeError, decode_luma_scaled
+
+_FMT_SET = pa.array(sorted(ACCEPTED_FORMATS))
 from idf.config import DedupConfig
 from idf.kernels.hashes import DECODE_MIN_DIM, hash_gray_batch, preprocess, resize_dims
 from idf.ops import available_cpus
@@ -49,36 +51,37 @@ class DecodeHasher:
         from idf.kernels.hashes import _D32  # noqa: F401
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"].to_pylist()
-        fmts = batch["fmt"].to_pylist()
+        import pyarrow.compute as pc
+
+        from idf.kernels.exif import exif_transform
+
+        n = len(batch)
+        # vectorized format filter; id/caption columns pass through
+        # zero-copy — only the blob bytes are touched per row
+        fmt_ok = pc.is_in(pc.utf8_lower(pc.cast(batch["fmt"], pa.string())), value_set=_FMT_SET)
+        fmt_ok = pc.fill_null(fmt_ok, False).combine_chunks().to_numpy(zero_copy_only=False)
         # zero-copy blob views: to_pylist() would memcpy the entire
         # bytes column (the whole corpus) into python bytes objects
         bcol = batch["bytes"].combine_chunks()
-        caps = batch["caption"].to_pylist()
         # optional EXIF orientation column (M1); a source without it is
         # bit-compatible with the reference's readOrientationSafe() == 1
         orients = (
             batch["orientation"].to_pylist() if "orientation" in batch.column_names else None
         )
-        from idf.kernels.exif import exif_transform
-
-        n = len(ids)
-        status = ["ok"] * n
+        decode_fail = np.zeros(n, dtype=bool)
         pixels = np.full(n, -1, dtype=np.int64)
         sizes = np.full(n, -1, dtype=np.int64)
         grays = np.zeros((n, *self.dims), dtype=np.uint8)
         ok = np.zeros(n, dtype=bool)
-        for i in range(n):  # per-row decode (images are variable-size blobs);
-            # the math inside decode/preprocess is vectorized per image
-            if str(fmts[i]).lower() not in ACCEPTED_FORMATS:
-                status[i] = "skip:fmt"
-                continue
+        for i in np.flatnonzero(fmt_ok):  # per-row decode (variable-size
+            # blobs); the math inside decode/preprocess is vectorized
+            i = int(i)
             data = memoryview(bcol[i].as_buffer())
             try:
                 # scaled-luma fast path (Y-only, k/8 partial iDCT for FJPG)
                 gray, oh, ow = decode_luma_scaled(data, min_dim=self.min_dim)
             except DecodeError:
-                status[i] = "skip:decode"
+                decode_fail[i] = True
                 continue
             if orients is not None and orients[i] is not None:
                 gray = exif_transform(gray, orients[i])
@@ -89,14 +92,15 @@ class DecodeHasher:
         hashes = np.zeros(n, dtype=np.uint64)
         if ok.any():
             hashes[ok] = hash_gray_batch(grays[ok], self.algo)
+        status = np.where(~fmt_ok, "skip:fmt", np.where(decode_fail, "skip:decode", "ok"))
         return pa.table(
             {
-                "image_id": pa.array(ids, pa.string()),
+                "image_id": batch["image_id"],
                 "phash": pa.array(hashes.view(np.int64)),
                 "pixels": pa.array(pixels),
                 "size": pa.array(sizes),
-                "caption": pa.array(caps, pa.string()),
-                "status": pa.array(status, pa.string()),
+                "caption": batch["caption"],
+                "status": pa.array(status.astype(object), pa.string()),
             }
         )
 

@@ -80,6 +80,35 @@ def elect_keeper_group(g: pd.DataFrame) -> pd.DataFrame:
     return elect_keeper_bucket(g)
 
 
+def plan_stage_files(
+    clusters_dir: str, hashes_dir: str, driver_max_rows: int = 10_000_000
+) -> rd.Dataset | None:
+    """Driver fast path: when the cluster membership fits the driver
+    (it is the near-dup MINORITY of the corpus), the whole election is
+    one pandas merge + one vectorized sort — no Ray jobs at all.
+    Returns None past the threshold (caller falls back to the
+    distributed ``plan_stage``)."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    cfiles = sorted(glob.glob(f"{clusters_dir}/*.parquet"))
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in cfiles)
+    if not cfiles or n_rows > driver_max_rows:
+        return None
+    cl = pads.dataset(cfiles).to_table().to_pandas()
+    meta = (
+        pads.dataset(sorted(glob.glob(f"{hashes_dir}/*.parquet")))
+        .to_table(columns=["image_id", "pixels", "size"])
+        .to_pandas()
+    )
+    joined = cl.merge(meta, on="image_id", how="left")
+    joined["pixels"] = joined["pixels"].fillna(-1).astype(np.int64)
+    joined["size"] = joined["size"].fillna(-1).astype(np.int64)
+    return rd.from_pandas(elect_keeper_bucket(joined))
+
+
 def plan_stage(
     clusters: rd.Dataset, meta: rd.Dataset, broadcast_max_rows: int = 5_000_000
 ) -> rd.Dataset:
