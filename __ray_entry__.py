@@ -64,7 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import pyarrow.dataset as pads
     import ray.data as rd
 
-    from idf.functions.ann import cosine_pairs, cosine_topk, ivf_topk
+    from idf.functions.ann import cosine_pairs, cosine_topk, ivf_pairs, ivf_topk
     from idf.functions.text import (
         fingerprint_md5,
         lang_id,
@@ -181,6 +181,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "emb_ann_ivf": lambda sf: ivf_topk(_emb(sf), list(range(8)), k=5).select_columns(
             ["vec_id", "neighbor_id", "rank"]
+        ),
+        # sub-quadratic approximate near-dup pairs (probabilistic recall
+        # -> rows-only check; exact counterpart is emb_cosine_pairs)
+        "emb_ivf_pairs": lambda sf: ivf_pairs(_emb(sf), tau=0.4).select_columns(
+            ["vec_id_a", "vec_id_b"]
         ),
     }
     return q

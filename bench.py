@@ -125,7 +125,8 @@ def run_scaling() -> dict:
     standard noisy-neighbor protocol — feeds the efficiency ratio.
     All rep timings are reported for transparency.
     """
-    lo_cpus, hi_cpus = 8, 32
+    pair = os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    lo_cpus, hi_cpus = int(pair[0]), int(pair[1])
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     settle = int(os.environ.get("GRAFT_SCALING_SETTLE_SEC", "30"))
     runs: dict[int, list[dict]] = {lo_cpus: [], hi_cpus: []}

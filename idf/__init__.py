@@ -17,3 +17,41 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _patch_ray_http_fs_probe() -> None:
+    """Guard a Ray path-resolution race exposed by concurrent stages.
+
+    ``ray.data.datasource.path_util._is_http_filesystem`` attempts
+    ``from fsspec.implementations.http import HTTPFileSystem`` on EVERY
+    path resolution and catches only ModuleNotFoundError. In this
+    container aiohttp is absent, so that import always fails and is
+    never cached; when two Datasets resolve paths concurrently (e.g.
+    independent stages running in threads), the loser of the import
+    race gets a plain ImportError ("cannot import name ...") which
+    escapes the except and kills the stage. Local filesystems can never
+    be fsspec-HTTP anyway, so short-circuit non-PyFileSystem cases and
+    treat ImportError as "not HTTP"."""
+    try:
+        import ray.data.datasource.path_util as _pu
+        from pyarrow.fs import PyFileSystem
+
+        _orig = _pu._is_http_filesystem
+
+        def _safe_is_http_filesystem(fs):
+            f = fs
+            try:
+                if isinstance(f, _pu.RetryingPyFileSystem):
+                    f = f.unwrap()
+                if not isinstance(f, PyFileSystem):
+                    return False
+                return _orig(fs)
+            except ImportError:
+                return False
+
+        _pu._is_http_filesystem = _safe_is_http_filesystem
+    except Exception:
+        pass  # future Ray versions without this helper need no patch
+
+
+_patch_ray_http_fs_probe()

@@ -200,6 +200,113 @@ def cosine_pairs(embeddings: rd.Dataset, tau: float = 0.9, n_shards: int = 8) ->
     return bucketed_apply(expanded, "pairkey", _pairs_bucket, n_buckets=max(64, n_shards * n_shards))
 
 
+def train_ivf_centroids(
+    embeddings: rd.Dataset, n_centroids: int, seed: int = 42, iters: int = 10
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer: seeded sample (64x the
+    centroid count) + Lloyd iterations on the driver (the sample is the
+    small side by design; the big table never materializes). Empty
+    cells are re-seeded from the farthest points — the standard fix."""
+    n_total = max(embeddings.count(), 1)
+    sample = embeddings.random_sample(
+        min(1.0, (n_centroids * 64) / n_total), seed=seed
+    ).to_pandas()
+    x = _normalize(_stack(sample["embedding"]))
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(x))
+    cents = x[rng.choice(len(x), n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = np.argmax(sims, axis=1)
+        new = np.zeros_like(cents)
+        np.add.at(new, assign, x)
+        counts = np.bincount(assign, minlength=n_centroids)
+        empty = counts == 0
+        if empty.any():  # re-seed dead cells from worst-fit points
+            worst = np.argsort(sims.max(axis=1))[: int(empty.sum())]
+            new[empty] = x[worst]
+            counts[empty] = 1
+        cents = _normalize(new / counts[:, None])
+    return cents
+
+
+def ivf_pairs(
+    embeddings: rd.Dataset,
+    tau: float = 0.9,
+    n_centroids: int = 64,
+    assign_probe: int = 2,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Approximate near-dup pairs (cosine >= tau): the SUB-QUADRATIC
+    scale path next to the exact ``cosine_pairs`` triangle join.
+
+    Each vector is assigned to its ``assign_probe`` nearest IVF cells
+    (multi-assignment recovers most cross-boundary pairs — the standard
+    IVF trick); pairs are generated exactly WITHIN each cell, then
+    deduplicated. Compute drops from O(n^2) to ~O(n^2 * probe /
+    n_centroids). Probabilistic recall (pytest measures it against the
+    exact pairs); precision is exact — every emitted pair is verified
+    by a real dot product."""
+    cents = train_ivf_centroids(embeddings, n_centroids, seed)
+    cents_ref = ray.put(cents)
+
+    from idf.ops import bucketed_apply, get_broadcast
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = get_broadcast(cents_ref)
+        if df.empty:
+            return df.assign(cell=pd.Series([], dtype=np.int64))
+        m = _normalize(_stack(df["embedding"]))
+        cells = np.argsort(-(m @ c.T), axis=1)[:, :assign_probe]
+        frames = []
+        for p in range(cells.shape[1]):
+            sub = df[["vec_id", "embedding"]].copy()
+            sub["cell"] = cells[:, p]
+            frames.append(sub)
+        return pd.concat(frames, ignore_index=True)
+
+    def _cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby("cell", sort=False):
+            sub = sub.drop_duplicates("vec_id")
+            if len(sub) < 2:
+                continue
+            m = _normalize(_stack(sub["embedding"]))
+            vids = sub["vec_id"].to_numpy(np.int64)
+            sims = m @ m.T
+            ii, jj = np.nonzero(sims >= tau)
+            keep = vids[ii] < vids[jj]
+            ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id_a": vids[ii],
+                            "vec_id_b": vids[jj],
+                            "sim": np.round(sims[ii, jj], 6),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "vec_id_a": pd.Series([], dtype=np.int64),
+                    "vec_id_b": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    expanded = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _assign, batch_format="pandas"
+    )
+    pairs = bucketed_apply(expanded, "cell", _cell_pairs)
+    # a pair found in two shared cells surfaces twice
+    return bucketed_apply(
+        pairs, ["vec_id_a", "vec_id_b"], lambda g: g.drop_duplicates(["vec_id_a", "vec_id_b"])
+    )
+
+
 def ivf_topk(
     embeddings: rd.Dataset,
     query_ids: list[int],
@@ -208,15 +315,12 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
 ) -> rd.Dataset:
-    """IVF approximate top-k: centroids from a seeded sample, each row
-    assigned to its nearest centroid (coarse quantizer), queries probe
-    only the ``nprobe`` nearest cells."""
-    sample = embeddings.random_sample(
-        min(1.0, (n_centroids * 8) / max(embeddings.count(), 1)), seed=seed
-    ).to_pandas()
-    cents = _normalize(_stack(sample["embedding"]))[:n_centroids]
-    if len(cents) < n_centroids:
-        n_centroids = len(cents)
+    """IVF approximate top-k: spherical-k-means centroids (see
+    train_ivf_centroids), each row assigned to its nearest centroid
+    (coarse quantizer), queries probe only the ``nprobe`` nearest
+    cells."""
+    cents = train_ivf_centroids(embeddings, n_centroids, seed)
+    n_centroids = len(cents)
     cents_ref = ray.put(cents)
 
     qset = set(int(q) for q in query_ids)

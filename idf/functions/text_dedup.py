@@ -140,8 +140,10 @@ def ngram_jaccard_pairs(
     # once); past it the sizes stay distributed and join in via two
     # bucketed hash_joins (the driver dict would OOM at billions of
     # docs — r1 verdict fix, auto-switched like cc_mode="auto").
+    # The gate uses docs.count() (parquet metadata, no compute) — an
+    # aggregate-side count would execute the shingle aggregate twice.
     sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
-    if sizes.count() <= broadcast_max_docs:
+    if docs.count() <= broadcast_max_docs:
         import ray
 
         sizes_df = sizes.to_pandas()
@@ -250,13 +252,13 @@ def minhash_lsh_pairs(
             {"doc_id_a": np.int64, "doc_id_b": np.int64}
         )
 
-    from idf.ops import bucketed_apply, hash_join
+    from idf.ops import broadcast_semi_join, bucketed_apply, hash_join
 
-    cands = bucketed_apply(banded, "key", _cand_bucket)
-    # same pair can surface from several bands in different buckets
-    cands = bucketed_apply(
-        cands, ["doc_id_a", "doc_id_b"], lambda g: g.drop_duplicates()
-    )
+    # candidate pairs are tiny next to the corpus; materialize once so
+    # the count + downstream reuse don't re-run the banding. Pair
+    # duplicates (same pair from several bands) collapse in the final
+    # per-pair verify groupby — no dedup shuffle needed.
+    cands = bucketed_apply(banded, "key", _cand_bucket).materialize()
 
     # melt each pair into two (doc_id, pair) rows; ONE join moves text
     def _melt(df: pd.DataFrame) -> pd.DataFrame:
@@ -271,7 +273,17 @@ def minhash_lsh_pairs(
         return both
 
     sides = cands.map_batches(_melt, batch_format="pandas")
-    joined = hash_join(sides, docs.select_columns(["doc_id", "text"]), on="doc_id")
+    text_side = docs.select_columns(["doc_id", "text"])
+    if cands.count() <= 2_500_000:
+        # semi-filter the docs to candidate members first (broadcast id
+        # set) so the join's text side is tiny; past the threshold the
+        # full co-group join runs (text crosses the wire once either way)
+        idset: set = set()
+        for b in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            idset.update(b["doc_id_a"].to_pylist())
+            idset.update(b["doc_id_b"].to_pylist())
+        text_side = broadcast_semi_join(text_side, "doc_id", idset)
+    joined = hash_join(sides, text_side, on="doc_id")
 
     def _verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """Exact Jaccard per candidate pair; shingle sets computed once

@@ -101,24 +101,42 @@ def run_dedup(
         ),
     )
 
-    # 3a. pigeonhole banding over globally distinct hashes
-    man.run_stage(
-        "edges_band",
-        lambda: band_edges(
-            _read(collapsed_dir, filter=pads.field("kind") == KIND_DISTINCT), cfg
-        ),
-    )
-    # 3b. caption MinHash-LSH candidates (verified by the phash predicate)
-    if cfg.caption_lsh:
-        man.run_stage(
-            "edges_caption",
-            lambda: caption_edges(
-                _read(
-                    hashes_dir, columns=["image_id", "phash", "caption", "status"], filter=ok_filter
-                ).drop_columns(["status"]),
-                cfg,
+    # 3. candidate edges. The same pair surfaces from many band keys,
+    # so a global pair-dedup shuffle (parallel) keeps each edge output —
+    # and the serial CC input — small. Banding and caption-LSH are
+    # INDEPENDENT (both read committed upstream stages), so they run
+    # concurrently: their barriers overlap and cores stay busy.
+    from idf.stages.candidates import dedup_edges
+
+    edge_stages = [
+        (
+            "edges_band",
+            lambda: dedup_edges(
+                band_edges(
+                    _read(collapsed_dir, filter=pads.field("kind") == KIND_DISTINCT), cfg
+                ),
+                with_phash=True,
             ),
         )
+    ]
+    if cfg.caption_lsh:
+        edge_stages.append(
+            (
+                "edges_caption",
+                lambda: dedup_edges(
+                    caption_edges(
+                        _read(
+                            hashes_dir,
+                            columns=["image_id", "phash", "caption", "status"],
+                            filter=ok_filter,
+                        ).drop_columns(["status"]),
+                        cfg,
+                    ),
+                    with_phash=True,
+                ),
+            )
+        )
+    man.run_stages_concurrent(edge_stages)
 
     # 4. connected components -> clusters (singletons fall out naturally:
     #    only edge-participating nodes appear; Commands.java:149-151 analog).

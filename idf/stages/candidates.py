@@ -367,12 +367,23 @@ def caption_edges(hashes_ok: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     return bucketed_apply(banded, "key", make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap))
 
 
-def dedup_edges(edges: rd.Dataset) -> rd.Dataset:
+def dedup_edges(edges: rd.Dataset, with_phash: bool = False) -> rd.Dataset:
     """J3: distinct (id_a, id_b), keeping min dist — bucketed grouped
-    aggregate (pair keys are high-cardinality)."""
+    aggregate (pair keys are high-cardinality).
+
+    In the image pipeline the same pair surfaces from MANY band keys
+    (~37x duplication measured at sf0.1), so deduping inside the edge
+    stages shrinks their outputs ~25x and keeps the serial CC input
+    tiny — one extra parallel shuffle buys a much smaller sequential
+    stage. ``with_phash`` carries the endpoint hashes through (a pair's
+    phashes are constant, so 'first' is exact)."""
     from idf.ops import bucketed_aggregate
 
-    return bucketed_aggregate(edges, ["id_a", "id_b"], {"dist": ("dist", "min")})
+    aggs = {"dist": ("dist", "min")}
+    if with_phash:
+        aggs["phash_a"] = ("phash_a", "first")
+        aggs["phash_b"] = ("phash_b", "first")
+    return bucketed_aggregate(edges, ["id_a", "id_b"], aggs)
 
 
 def _cpus() -> int:

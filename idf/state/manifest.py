@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from typing import Callable
 
@@ -31,6 +32,7 @@ class RunManifest:
         self.resume = resume
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, MANIFEST_NAME)
+        self._lock = threading.Lock()  # independent stages may commit concurrently
         self.state: dict = {"stages": {}}
         if resume and os.path.exists(self.path):
             with open(self.path) as f:
@@ -82,21 +84,36 @@ class RunManifest:
         ds.write_parquet(tmp)
         os.replace(tmp, out)
         parts = self._partition_lineage(out)
-        self.state["stages"][name] = {
-            "status": "committed",
-            "output": out,
-            "wall_sec": round(time.time() - t0, 3),
-            "rows": sum(p["rows"] for p in parts),
-            "partitions": parts,
-            "metrics": metrics or {},
-        }
-        self._save()
+        with self._lock:
+            self.state["stages"][name] = {
+                "status": "committed",
+                "output": out,
+                "wall_sec": round(time.time() - t0, 3),
+                "rows": sum(p["rows"] for p in parts),
+                "partitions": parts,
+                "metrics": metrics or {},
+            }
+            self._save()
         return out
 
+    def run_stages_concurrent(self, stages: list[tuple[str, Callable[[], rd.Dataset]]]) -> list[str]:
+        """Run INDEPENDENT stages concurrently (each in a thread; Ray
+        jobs interleave and share the cluster) — overlaps their shuffle
+        barriers and fills cores a single stage would leave idle."""
+        import concurrent.futures as cf
+
+        if len(stages) == 1:
+            name, build = stages[0]
+            return [self.run_stage(name, build)]
+        with cf.ThreadPoolExecutor(max_workers=len(stages)) as ex:
+            futs = [ex.submit(self.run_stage, name, build) for name, build in stages]
+            return [f.result() for f in futs]
+
     def record_metrics(self, name: str, extra: dict) -> None:
-        info = self.state["stages"].setdefault(name, {"status": "metrics-only"})
-        info.setdefault("metrics", {}).update(extra)
-        self._save()
+        with self._lock:
+            info = self.state["stages"].setdefault(name, {"status": "metrics-only"})
+            info.setdefault("metrics", {}).update(extra)
+            self._save()
 
     @staticmethod
     def _partition_lineage(out_dir: str) -> list[dict]:

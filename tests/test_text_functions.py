@@ -164,6 +164,19 @@ def test_cosine_pairs(emb):
     assert {(r["vec_id_a"], r["vec_id_b"]) for _, r in got.iterrows()} == want
 
 
+def test_ivf_pairs_recall(emb):
+    from idf.functions.ann import ivf_pairs
+
+    tau = 0.35
+    exact = cosine_pairs(emb, tau=tau).to_pandas()
+    approx = ivf_pairs(emb, tau=tau, n_centroids=16, assign_probe=3).to_pandas()
+    want = {(r["vec_id_a"], r["vec_id_b"]) for _, r in exact.iterrows()}
+    got = {(r["vec_id_a"], r["vec_id_b"]) for _, r in approx.iterrows()}
+    assert got <= want  # precision exact (every pair dot-product verified)
+    if want:
+        assert len(got & want) / len(want) >= 0.6
+
+
 def test_ivf_topk_recall(emb):
     qids = list(range(8))
     exact = cosine_topk(emb, qids, k=5).to_pandas()
