@@ -147,12 +147,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(os.path.join(sf, "events.parquet"), columns=["event_type"])
         return count_by(ev, "event_type", alias="n")
 
+    # -- web-surface ops (S9/S10, app/WebServer.java) over engine output.
+    #    Both derive their small side DETERMINISTICALLY from md5 of the
+    #    image_id so the DuckDB oracle replicates it without a side file.
+    def img_plan_rewrite(sf):
+        from idf.stages.web import rewrite_plan
+
+        plan = _stage(sf, "plan")
+
+        def _updates(t):
+            import hashlib
+
+            import pyarrow as pa
+
+            acts = []
+            for i in t["image_id"].to_pylist():
+                c = hashlib.md5(i.encode()).hexdigest()[-1]
+                # mix of valid/messy/bogus actions exercises savePlan's
+                # normalization (WebServer.java:340-344)
+                acts.append(
+                    "Delete" if c in "0123" else (" keep " if c in "45" else "bogus")
+                )
+            return pa.table({"image_id": t["image_id"], "action": pa.array(acts)})
+
+        updates = plan.select_columns(["image_id"]).map_batches(
+            _updates, batch_format="pyarrow"
+        ).to_pandas()
+        # only ids hitting the md5 rule get overrides; the rest keep
+        # their plan action (tests the passthrough path too)
+        updates = updates[
+            updates["image_id"].map(
+                lambda i: __import__("hashlib").md5(i.encode()).hexdigest()[-1] in "01234567"
+            )
+        ]
+        return rewrite_plan(plan, updates)
+
+    def img_fetch(sf):
+        import hashlib
+
+        from idf.stages.web import fetch_images_digest
+        from idf.synth import CACHE_TAG, sf_from_dir
+
+        images = rd.read_parquet(
+            f"/tmp/idf_cache/images_{CACHE_TAG}_sf{sf_from_dir(sf)}",
+            columns=["image_id", "bytes", "fmt"],
+        )
+        ids = [
+            i
+            for b in images.select_columns(["image_id"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            for i in b["image_id"].to_pylist()
+            if hashlib.md5(i.encode()).hexdigest()[-1] == "0"
+        ]
+        return fetch_images_digest(images, ids)
+
     # -- text analysis / dedup over documents
     q = {
         "img_hashes": img_hashes,
         "img_clusters": img_clusters,
         "img_plan": img_plan,
         "img_apply": img_apply,
+        "img_plan_rewrite": img_plan_rewrite,
+        "img_fetch": img_fetch,
         "orders_top1_per_cust": orders_top1_per_cust,
         "orders_min_group_size": orders_min_group_size,
         "cust_orders_by_nation": cust_orders_by_nation,
@@ -261,7 +318,223 @@ def img_oracle_sql(sf: str) -> dict[str, str]:
               WHERE action = 'DELETE'
             ) d USING (image_id)
         """,
+        # S9: md5-derived overrides, normalized like savePlan
+        # (WebServer.java:340-344: trim+lower; non keep/delete -> keep)
+        "img_plan_rewrite": f"""
+            SELECT cluster_id,
+                   CASE WHEN substr(md5(image_id), 32, 1) IN ('0','1','2','3') THEN 'DELETE'
+                        WHEN substr(md5(image_id), 32, 1) IN ('4','5','6','7') THEN 'KEEP'
+                        ELSE action END AS action,
+                   image_id, reason, pixels, size
+            FROM read_parquet('{run}/plan/*.parquet')
+        """,
+        # S10: byte fetch for an md5-selected id page; md5(hex(bytes))
+        # == python md5(data.hex().upper()) pins the exact payload
+        "img_fetch": f"""
+            SELECT image_id,
+                   CASE lower(trim(fmt))
+                        WHEN 'png' THEN 'image/png' WHEN 'jpg' THEN 'image/jpeg'
+                        WHEN 'jpeg' THEN 'image/jpeg' WHEN 'gif' THEN 'image/gif'
+                        WHEN 'bmp' THEN 'image/bmp' WHEN 'webp' THEN 'image/webp'
+                        ELSE 'application/octet-stream' END AS media_type,
+                   octet_length(bytes)::BIGINT AS n_bytes,
+                   md5(hex(bytes)) AS content_md5
+            FROM read_parquet('{imgs}/*.parquet')
+            WHERE substr(md5(image_id), 32, 1) = '0'
+        """,
     }
+
+
+def _lang_id_sql() -> str:
+    """Integer-ratio replica of ``idf.functions.text.lang_id``: shared
+    denominator across profiles -> best language maximizes the raw hit
+    count (ties alphabetical); zh branch is the exact integer compare
+    ``5*cjk > n_chars``."""
+    from idf.functions.text import _LANG_PROFILES
+
+    profiles = {k: v for k, v in sorted(_LANG_PROFILES.items()) if v}
+    hits = ",\n                   ".join(
+        "length(list_filter(toks, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(v)), l
+        )
+        for l, v in profiles.items()
+    )
+    gmax = "greatest(" + ", ".join(f"h_{l}" for l in profiles) + ")"
+    pick = " ".join(
+        f"WHEN h_{l} = {gmax} THEN '{l}'" for l in profiles
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
+                 length(text) AS n_chars,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        h AS (SELECT doc_id, cjk, n_chars, greatest(length(toks), 1) AS n_toks,
+                   {hits}
+              FROM t),
+        best AS (
+          SELECT doc_id, cjk, n_chars, n_toks, {gmax} AS bh,
+                 CASE WHEN {gmax} = 0 THEN 'und' {pick} END AS bl
+          FROM h
+        )
+        SELECT best.doc_id,
+               CASE WHEN t.text = '' THEN 'und'
+                    WHEN 5 * best.cjk > best.n_chars THEN 'zh'
+                    ELSE bl END AS lang_pred,
+               CASE WHEN t.text = '' THEN 0
+                    WHEN 5 * best.cjk > best.n_chars THEN best.cjk
+                    ELSE bh END AS score_num,
+               CASE WHEN t.text = '' THEN 1
+                    WHEN 5 * best.cjk > best.n_chars THEN best.n_chars
+                    ELSE n_toks END AS score_den
+        FROM best JOIN t ON t.doc_id = best.doc_id
+    """
+
+
+def _winnow_sql(k: int = 5, window: int = 4) -> str:
+    """SQL replica of ``winnow_fingerprints``: codepoint rolling hash
+    with each fold step mod 2^64 in HUGEINT, window-of-``window`` min
+    selection (first position of the min), distinct selected values,
+    two's-complement back to BIGINT."""
+    acc = "unicode(substr(ltext, pos, 1))::HUGEINT"
+    for off in range(1, k):
+        acc = (
+            f"(({acc}) * 1000000007 + unicode(substr(ltext, pos + {off}, 1)))"
+            " % 18446744073709551616::HUGEINT"
+        )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, lower(trim(text)) AS ltext, length(lower(trim(text))) AS n
+          FROM documents
+        ),
+        hashes AS (
+          SELECT doc_id, pos, {acc} AS h
+          FROM d, LATERAL (SELECT unnest(range(1, n - {k} + 2)) AS pos) p
+          WHERE n >= {k}
+        ),
+        wm AS (
+          SELECT doc_id, pos AS w, h,
+                 min(h) OVER win AS wmin,
+                 count(*) OVER win AS wn,
+                 count(*) OVER (PARTITION BY doc_id) AS nh
+          FROM hashes
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+        ),
+        selpos AS (
+          SELECT m.doc_id, min(hh.pos) AS pos
+          FROM wm m JOIN hashes hh
+            ON hh.doc_id = m.doc_id AND hh.pos BETWEEN m.w AND m.w + {window - 1}
+           AND hh.h = m.wmin
+          WHERE m.wn = {window} AND m.nh > {window}
+          GROUP BY m.doc_id, m.w
+          UNION
+          SELECT doc_id, min(pos) FROM hashes h1
+          WHERE (SELECT count(*) FROM hashes h2 WHERE h2.doc_id = h1.doc_id) <= {window}
+            AND h = (SELECT min(h) FROM hashes h3 WHERE h3.doc_id = h1.doc_id)
+          GROUP BY doc_id
+        ),
+        fps AS (
+          SELECT DISTINCT s.doc_id,
+                 (CASE WHEN hh.h >= 9223372036854775808::HUGEINT
+                       THEN hh.h - 18446744073709551616::HUGEINT ELSE hh.h END)::BIGINT AS fp
+          FROM selpos s JOIN hashes hh ON hh.doc_id = s.doc_id AND hh.pos = s.pos
+        )
+        SELECT doc_id, fp FROM fps
+        UNION ALL
+        SELECT doc_id, 0::BIGINT AS fp FROM d WHERE n < {k}
+    """
+
+
+# simhash CTE shared by doc_simhash and doc_simhash_pairs: md5-token
+# sign-sum, bit weights rebuilt in HUGEINT, two's complement to BIGINT
+_SIMHASH_CTE = """
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, md5_number_lower(tok) AS h, count(*)::BIGINT AS w
+           FROM toks GROUP BY doc_id, tok),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) AS acc
+      FROM tf, (SELECT unnest(range(64)) AS j) js
+      GROUP BY doc_id, j
+    ),
+    shsum AS (
+      SELECT doc_id,
+             sum(CASE WHEN acc > 0 THEN (1::HUGEINT << j) ELSE 0 END) AS v
+      FROM bits GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT d.doc_id,
+             coalesce((CASE WHEN v >= 9223372036854775808::HUGEINT
+                   THEN v - 18446744073709551616::HUGEINT ELSE v END)::BIGINT, 0) AS simhash
+      FROM documents d LEFT JOIN shsum ON shsum.doc_id = d.doc_id
+    )
+"""
+
+
+def _minhash_sql(tau: float = 0.8, k: int = 3, num_perm: int = 128, bands: int = 32) -> str:
+    """SQL replica of ``minhash_lsh_pairs``: md5 shingle hashes, the
+    SAME seeded affine permutation constants inlined as VALUES, band
+    collision by signature-tuple equality, exact-Jaccard verify over
+    the md5 shingle-hash sets. short="self" semantics: <k-token docs
+    contribute one whole-text shingle ('' when empty)."""
+    from idf.kernels.minhash import MinHasher
+
+    mh = MinHasher(num_perm, seed=42)
+    perms = ", ".join(
+        f"({i}, {int(mh.a[i])}::HUGEINT, {int(mh.b[i])}::HUGEINT)" for i in range(num_perm)
+    )
+    rows_per = num_perm // bands
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        shing AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN length(toks) < {k} THEN array_to_string(toks, ' ')
+                      ELSE array_to_string(toks[i : i + {k} - 1], ' ') END AS s
+          FROM t, LATERAL (SELECT unnest(range(1, greatest(length(toks) - {k} + 1, 1) + 1)) AS i) p
+        ),
+        shh AS (SELECT DISTINCT doc_id, md5_number_lower(s)::HUGEINT AS h FROM shing),
+        perms(i, a, b) AS (VALUES {perms}),
+        sigs AS (
+          SELECT doc_id, i,
+                 min((a * h + b) % 18446744073709551616::HUGEINT) AS v
+          FROM shh, perms GROUP BY doc_id, i
+        ),
+        bandsig AS (
+          SELECT doc_id, i // {rows_per} AS band,
+                 string_agg(v::VARCHAR, ',' ORDER BY i) AS bs
+          FROM sigs GROUP BY doc_id, i // {rows_per}
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bandsig x JOIN bandsig y
+            ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        inter AS (
+          SELECT c.a, c.b, count(*) AS m
+          FROM cand c
+          JOIN shh ha ON ha.doc_id = c.a
+          JOIN shh hb ON hb.doc_id = c.b AND hb.h = ha.h
+          GROUP BY c.a, c.b
+        )
+        SELECT c.a AS doc_id_a, c.b AS doc_id_b
+        FROM cand c
+        JOIN sizes sa ON sa.doc_id = c.a
+        JOIN sizes sb ON sb.doc_id = c.b
+        LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        WHERE coalesce(i.m, 0) * 1.0 / (sa.n + sb.n - coalesce(i.m, 0)) >= {tau}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -310,6 +583,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
         "doc_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+        "doc_lang_id": _lang_id_sql(),
+        "doc_winnow_fp": _winnow_sql(),
+        "doc_simhash": f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh",
+        # banding recall is EXACT by pigeonhole (expansion_radius
+        # construction, idf/config.py:61-71), so brute force matches
+        "doc_simhash_pairs": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        "doc_minhash_pairs": _minhash_sql(tau=0.8),
         "doc_ngram_pairs": """
             WITH toks AS (
               SELECT doc_id, w, i

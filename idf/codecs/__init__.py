@@ -96,8 +96,13 @@ def decode_luma_scaled(
         if kind == "jpg":
             # FJPG accepts any buffer (memoryview stays zero-copy)
             return _fjpg.decode_fjpg_luma_scaled(data, min_dim)
-        raw = data if isinstance(data, bytes) else bytes(data)
-        gray = luma601_u8(decode_png(raw) if kind == "png" else decode_bmp(raw))
+        if kind == "png":
+            # fused strided luma (bit-identical, ~2x less DRAM traffic)
+            from idf.codecs.png import decode_png_luma
+
+            gray = decode_png_luma(data)
+        else:
+            gray = luma601_u8(decode_bmp(data if isinstance(data, bytes) else bytes(data)))
         return gray, gray.shape[0], gray.shape[1]
     except DecodeError:
         raise

@@ -104,32 +104,50 @@ def quality_components(ds: rd.Dataset) -> rd.Dataset:
 
 
 def lang_id(ds: rd.Dataset) -> rd.Dataset:
-    """(doc_id, lang_pred, lang_score) — stopword-profile + CJK-ratio
-    heuristic language ID (not SQL-expressible; rows-only oracle +
-    pytest determinism check)."""
+    """(doc_id, lang_pred, score_num, score_den) — stopword-profile +
+    CJK-ratio heuristic language ID.
+
+    The score is emitted as an exact integer ratio (matched-token count
+    over token count; CJK-char count over char count for the zh branch)
+    rather than a rounded float, so the DuckDB oracle hash-matches
+    bit-for-bit (the r1 ``quality_components`` lesson). All branch
+    comparisons are integer (``5*cjk > n_chars`` instead of
+    ``cjk/n > 0.2``); across language profiles the denominator is
+    shared, so the best language maximizes the raw hit count, ties
+    broken alphabetically (the iteration order of ``sorted``)."""
     profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items() if v}
 
     def _lang_id(df: pd.DataFrame) -> pd.DataFrame:
-        preds, scores = [], []
+        preds, nums, dens = [], [], []
         for text in df["text"].fillna(""):
             if not text:
                 preds.append("und")
-                scores.append(0.0)
+                nums.append(0)
+                dens.append(1)
                 continue
             cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
-            if cjk / max(len(text), 1) > 0.2:
+            if 5 * cjk > len(text):
                 preds.append("zh")
-                scores.append(round(cjk / len(text), 6))
+                nums.append(cjk)
+                dens.append(len(text))
                 continue
-            toks = [t.lower() for t in _WS.split(text.strip())]
-            best, best_score = "und", 0.0
+            toks = [t.lower() for t in _WS.split(text.strip(" "))]
+            best, best_hits = "und", 0
             for lang, prof in sorted(profiles.items()):
-                s = sum(1 for t in toks if t in prof) / max(len(toks), 1)
-                if s > best_score:
-                    best, best_score = lang, s
+                hits = sum(1 for t in toks if t in prof)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
             preds.append(best)
-            scores.append(round(best_score, 6))
-        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds, "lang_score": scores})
+            nums.append(best_hits)
+            dens.append(max(len(toks), 1))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_pred": preds,
+                "score_num": np.array(nums, dtype=np.int64),
+                "score_den": np.array(dens, dtype=np.int64),
+            }
+        )
 
     return ds.map_batches(_lang_id, batch_format="pandas")
 
@@ -150,13 +168,22 @@ def fingerprint_md5(ds: rd.Dataset) -> rd.Dataset:
 def winnow_fingerprints(ds: rd.Dataset, k: int = 5, window: int = 4) -> rd.Dataset:
     """(doc_id, fp) rows: winnowing document fingerprints — rolling
     polynomial hash over character k-grams, min-sampled per window
-    (Schleimer et al., SIGMOD'03 public algorithm). Not SQL-expressible."""
+    (Schleimer et al., SIGMOD'03 public algorithm).
+
+    The hash runs over Unicode CODEPOINTS (not UTF-8 bytes) with each
+    fold step reduced mod 2^64, which a DuckDB oracle replicates with
+    ``unicode(substr(...))`` + HUGEINT stepwise-mod arithmetic — the
+    windowed min-selection (first position of the window minimum) maps
+    to SQL window frames. Normalization is ``strip(' ')`` to match SQL
+    ``trim`` (spaces only)."""
     B = np.uint64(1000000007)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         ids, fps = [], []
         for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-            s = np.frombuffer(text.strip().lower().encode(), dtype=np.uint8)
+            s = np.frombuffer(
+                text.strip(" ").lower().encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
             if len(s) < k:
                 ids.append(doc_id)
                 fps.append(0)

@@ -18,14 +18,12 @@ Pair outputs are always (doc_id_a < doc_id_b).
 
 from __future__ import annotations
 
-from hashlib import blake2b
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from idf.kernels.minhash import MinHasher, band_keys, shingle_hashes
+from idf.kernels.minhash import MinHasher, band_keys, md5_low64, shingle_hashes
 from idf.ops import available_cpus, exact_dedup, hash_join
 
 
@@ -328,9 +326,12 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     """64-bit SimHash over word features (public Charikar construction):
     sign-sum of per-token 64-bit hashes, tf-weighted.
 
-    Vectorized per BATCH: one (total_unique_tokens, 64) bit-unpack and
-    one segment-sum; token hashes are memoized across the batch (the
-    only per-token python is the blake2b call on first sight)."""
+    Token hash = md5 low 64 bits (``kernels.minhash.md5_low64``), which
+    DuckDB reproduces as ``md5_number_lower`` — so ``simhash_docs`` has
+    a full SQL oracle. Vectorized per BATCH: one
+    (total_unique_tokens, 64) bit-unpack and one segment-sum; token
+    hashes are memoized across the batch (the only per-token python is
+    the md5 call on first sight)."""
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
     if not n:
@@ -344,7 +345,7 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
         for t, w in cnt.items():
             h = cache.get(t)
             if h is None:
-                h = int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "little")
+                h = md5_low64(t)
                 cache[t] = h
             doc_idx.append(i)
             tok_hash.append(h)

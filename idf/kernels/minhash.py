@@ -2,8 +2,10 @@
 
 Candidate source J2 (SURVEY §2.5): word-k-shingles -> k MinHash values
 -> b bands -> band-key groupby. Deterministic across processes: shingle
-hashing uses blake2b (PYTHONHASHSEED-independent), permutations are a
-seeded affine family over uint64 (wraparound arithmetic).
+hashing uses the low 64 bits of md5 (PYTHONHASHSEED-independent AND
+replicable in ANSI SQL via DuckDB's ``md5_number_lower`` — what makes
+the MinHash-LSH pipeline oracle-checkable end to end), permutations are
+a seeded affine family over uint64 (wraparound arithmetic).
 
 Every caption-LSH candidate pair is still verified with the primary
 edge predicate hamming(phash) <= radius, so cluster semantics match the
@@ -13,11 +15,17 @@ machinery exposed for text dedup in idf.functions).
 
 from __future__ import annotations
 
-from hashlib import blake2b
+from hashlib import blake2b, md5
 
 import numpy as np
 
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def md5_low64(s: str) -> int:
+    """Low 64 bits of md5 — DuckDB ``md5_number_lower(s)`` exactly
+    (the LAST 8 digest bytes, little-endian; verified empirically)."""
+    return int.from_bytes(md5(s.encode()).digest()[8:], "little")
 
 
 def shingle_hashes(text: str, k: int = 3, short: str = "self") -> np.ndarray:
@@ -36,7 +44,7 @@ def shingle_hashes(text: str, k: int = 3, short: str = "self") -> np.ndarray:
     else:
         shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
     out = np.fromiter(
-        (int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little") for s in shingles),
+        (md5_low64(s) for s in shingles),
         dtype=np.uint64,
         count=len(shingles),
     )

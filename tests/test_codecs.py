@@ -94,3 +94,50 @@ def test_decode_errors():
     good = encode(_rand_img(), "png")
     with pytest.raises(DecodeError):
         decode(good[:40])  # truncated after valid magic
+
+
+def test_png_luma_fused_bit_exact():
+    """decode_png_luma == luma601_u8(decode_png(...)) bit-for-bit on
+    RGB, RGBA and gray images (and via memoryview input)."""
+    from idf.codecs.png import decode_png_luma
+    from idf.kernels.preprocess import luma601_u8
+
+    for shape, seed in (((61, 47, 3), 1), ((15, 9, 4), 3), ((20, 30), 2)):
+        img = _rand_img(shape, seed=seed)
+        data = encode_png(img)
+        ref = decode_png(data)
+        want = luma601_u8(ref)
+        assert np.array_equal(decode_png_luma(data), want)
+        assert np.array_equal(decode_png_luma(memoryview(data)), want)
+
+
+def test_luma601_gray_identity_exhaustive():
+    """luma601(x,x,x) == x for every uint8 x — the invariant the fused
+    gray-PNG fast path relies on (float32 0.299+0.587+0.114 sums to 1.0
+    in the evaluation order used)."""
+    from idf.kernels.preprocess import luma601_u8
+
+    x = np.arange(256, dtype=np.uint8)
+    img = np.repeat(x.reshape(16, 16, 1), 3, axis=2)
+    assert np.array_equal(luma601_u8(img), x.reshape(16, 16))
+
+
+def test_png_luma_fused_filtered_fallback():
+    """Filtered PNGs (non-zero filter bytes) fall back to the general
+    decoder and still match."""
+    import struct
+    import zlib
+
+    from idf.codecs.png import MAGIC, _chunk, decode_png_luma
+    from idf.kernels.preprocess import luma601_u8
+
+    # one row filter-2 (Up) image, 3x2 RGB
+    rows = [b"\x00" + bytes(range(6)), b"\x02" + bytes(range(6))]
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    data = (
+        MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png_luma(data), luma601_u8(decode_png(data)))
