@@ -59,22 +59,14 @@ def run_dedup(
     from idf.ops import available_cpus
 
     ncpu = available_cpus()
-    # 1. decode + hash (only needed columns leave storage; bytes dropped
-    # here); read fan-out targets bytes-per-block, floored at a few
-    # blocks per core (see auto_num_blocks for the 100-TB story)
-    from idf.stages.hash_stage import auto_num_blocks
+    # 1. decode + hash, FUSED with the read: each task streams its own
+    # parquet fragments and emits only the small hash table, so the
+    # bytes column never transits the object store (the r1 hash stage
+    # was flat 8->32 CPUs because ~15 GB of encoded bytes crossed
+    # plasma between ReadParquet and the decode operator)
+    from idf.stages.hash_stage import fused_hash_stage
 
-    hashes_dir = man.run_stage(
-        "hashes",
-        lambda: hash_stage(
-            read_images(
-                images_path,
-                columns=["image_id", "bytes", "fmt", "caption"],
-                num_blocks=auto_num_blocks(images_path, ncpu),
-            ),
-            cfg,
-        ),
-    )
+    hashes_dir = man.run_stage("hashes", lambda: fused_hash_stage(images_path, cfg))
     ok_filter = pads.field("status") == "ok"
 
     # skip/ok counters -> manifest metrics (the reference's stderr skips, M9)
