@@ -121,15 +121,35 @@ def decode_png_luma(data) -> np.ndarray:
         # sums to 1.0 exactly in this float32 evaluation order; verified
         # exhaustively in tests), so the scanline view IS the luma
         return np.ascontiguousarray(raw[:, 1:])
-    r = raw[:, 1::c].astype(np.float32)
-    g = raw[:, 2::c].astype(np.float32)
-    b = raw[:, 3::c].astype(np.float32)
-    y = np.float32(0.299) * r
-    y += np.float32(0.587) * g
-    y += np.float32(0.114) * b
-    np.round(y, out=y)
-    np.clip(y, 0, 255, out=y)
-    return y.astype(np.uint8)
+    # luma in row chunks with reused buffers: elementwise float32 math
+    # is chunk-invariant, so this is bit-identical to the whole-image
+    # expression (y = .299r; y += .587g; y += .114b) while keeping the
+    # float32 temporaries cache-sized — the decode stage is
+    # DRAM-bandwidth-bound at high core counts, and full-image float
+    # temps (4 bytes/px x 4 arrays) were the dominant memory traffic,
+    # not the pixels themselves.
+    y = np.empty((h, w), np.uint8)
+    rows_chunk = max(8, (1 << 16) // max(w, 1))  # ~256 KB of float32 temps
+    nc = min(rows_chunk, h)
+    acc = np.empty((nc, w), np.float32)
+    ch = np.empty((nc, w), np.float32)
+    prod = np.empty((nc, w), np.float32)
+    for r0 in range(0, h, rows_chunk):
+        r1 = min(h, r0 + rows_chunk)
+        k = r1 - r0
+        a, t, p = acc[:k], ch[:k], prod[:k]
+        t[:] = raw[r0:r1, 1::c]  # uint8 -> float32 cast into the buffer
+        np.multiply(t, np.float32(0.299), out=a)
+        t[:] = raw[r0:r1, 2::c]
+        np.multiply(t, np.float32(0.587), out=p)
+        a += p
+        t[:] = raw[r0:r1, 3::c]
+        np.multiply(t, np.float32(0.114), out=p)
+        a += p
+        np.round(a, out=a)
+        np.clip(a, 0, 255, out=a)
+        y[r0:r1] = a.astype(np.uint8)
+    return y
 
 
 def decode_png(data: bytes) -> np.ndarray:

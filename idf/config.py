@@ -44,6 +44,11 @@ class DedupConfig:
     # that genuinely exceed one machine.
     cc_mode: str = "auto"
     cc_driver_max_edges: int = 50_000_000
+    # edge dedup (J3): the same pair surfaces from ~37 band keys, so a
+    # pair-keyed dedup shuffle shrinks CC's input ~25x — but it is pure
+    # overhead when the raw edge list already fits the driver CC (which
+    # is duplicate-invariant). Auto: dedup only above this raw count.
+    edge_dedup_min_rows: int = 20_000_000
     # decode stage execution (see stages/hash_stage.py: tasks by default)
     decode_batch_size: int = 512
     decode_concurrency: int | None = None  # None -> size from cluster CPUs

@@ -114,7 +114,7 @@ def ngram_jaccard_pairs(
     # per-PAIR sum: millions of tiny groups -> bucketed pandas agg, not
     # the per-group native aggregate
     inter = bucketed_aggregate(
-        bucketed_apply(shingles, "shingle", _bucket_counts),
+        bucketed_apply(shingles, "shingle", _bucket_counts, polars_sort=True),
         ["id_a", "id_b"],
         {"n_common": ("n_common", "sum")},
     )
@@ -256,7 +256,7 @@ def minhash_lsh_pairs(
     # the count + downstream reuse don't re-run the banding. Pair
     # duplicates (same pair from several bands) collapse in the final
     # per-pair verify groupby — no dedup shuffle needed.
-    cands = bucketed_apply(banded, "key", _cand_bucket).materialize()
+    cands = bucketed_apply(banded, "key", _cand_bucket, polars_sort=True).materialize()
 
     # melt each pair into two (doc_id, pair) rows; ONE join moves text
     def _melt(df: pd.DataFrame) -> pd.DataFrame:

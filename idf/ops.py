@@ -24,6 +24,30 @@ def available_cpus(default: int = 4) -> int:
         return default
 
 
+def tune_context(polars_sort: bool = False) -> None:
+    """Set the shuffle-sort backend for datasets constructed NEXT.
+
+    Ray copies the ambient DataContext into each Dataset at
+    CONSTRUCTION (verified on 2.49: flipping the flag after
+    construction does not affect execution), so this is a
+    per-pipeline-construction switch, not a global toggle.
+
+    polars-backed sort blocks measured 2.7x faster shuffle reduce for
+    the edge-dedup groupby and ~25% on the banding stage at sf0.1 —
+    but polars' ``from_arrow`` PANICS (pyo3 Utf8Error) on Ray's
+    pickled object-extension columns (e.g. numpy-object embedding
+    lists), so callers may only pass True when every shuffled column
+    is a plain primitive type."""
+    try:
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        if hasattr(ctx, "use_polars_sort"):
+            ctx.use_polars_sort = polars_sort
+    except Exception:
+        pass
+
+
 # Shuffle-bucket fan-out: enough granularity that (a) every core gets
 # reduce work, (b) in-bucket self-merges stay small (their cost is
 # quadratic in bucket size). 512 measured 6x faster than 64 for the
@@ -44,6 +68,7 @@ def bucketed_apply(
     key: str | list[str],
     bucket_fn,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    polars_sort: bool = False,
 ) -> rd.Dataset:
     """Hash-partition rows by ``key`` into ``n_buckets`` shuffle groups
     and apply ``bucket_fn`` (pandas in/out) to each WHOLE bucket.
@@ -55,6 +80,7 @@ def bucketed_apply(
     distinct-key count) rather than on raw keys.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    tune_context(polars_sort)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # Arrow in/out: only the KEY columns materialize to pandas for
@@ -80,6 +106,7 @@ def bucketed_group_apply(
     key: str | list[str],
     group_fn,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    polars_sort: bool = False,
 ) -> rd.Dataset:
     """``groupby(key).map_groups(group_fn)`` with key salting.
 
@@ -99,7 +126,7 @@ def bucketed_group_apply(
             return out if out is not None else pd.DataFrame()
         return pd.concat(outs, ignore_index=True)
 
-    return bucketed_apply(ds, key, apply_bucket, n_buckets)
+    return bucketed_apply(ds, key, apply_bucket, n_buckets, polars_sort=polars_sort)
 
 
 # ---------------------------------------------------------------------------
@@ -328,6 +355,7 @@ def bucketed_aggregate(
     key: str | list[str],
     aggs: dict[str, tuple[str, str]],
     n_buckets: int = N_BUCKETS_DEFAULT,
+    polars_sort: bool = False,
 ) -> rd.Dataset:
     """Grouped aggregate for HIGH-CARDINALITY keys (millions of groups).
 
@@ -345,4 +373,4 @@ def bucketed_aggregate(
         out = pd.DataFrame(pieces).reset_index()
         return out
 
-    return bucketed_apply(ds, keys, agg_bucket, n_buckets)
+    return bucketed_apply(ds, keys, agg_bucket, n_buckets, polars_sort=polars_sort)

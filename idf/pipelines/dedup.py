@@ -103,11 +103,8 @@ def run_dedup(
     edge_stages = [
         (
             "edges_band",
-            lambda: dedup_edges(
-                band_edges(
-                    _read(collapsed_dir, filter=pads.field("kind") == KIND_DISTINCT), cfg
-                ),
-                with_phash=True,
+            lambda: band_edges(
+                _read(collapsed_dir, filter=pads.field("kind") == KIND_DISTINCT), cfg
             ),
         )
     ]
@@ -115,34 +112,47 @@ def run_dedup(
         edge_stages.append(
             (
                 "edges_caption",
-                lambda: dedup_edges(
-                    caption_edges(
-                        _read(
-                            hashes_dir,
-                            columns=["image_id", "phash", "caption", "status"],
-                            filter=ok_filter,
-                        ).drop_columns(["status"]),
-                        cfg,
-                    ),
-                    with_phash=True,
+                lambda: caption_edges(
+                    _read(
+                        hashes_dir,
+                        columns=["image_id", "phash", "caption", "status"],
+                        filter=ok_filter,
+                    ).drop_columns(["status"]),
+                    cfg,
                 ),
             )
         )
     man.run_stages_concurrent(edge_stages)
 
+    # 3b. pair-dedup of the raw edges — only when the raw list is big
+    # enough that shrinking it (~25x at sf0.1) pays for its own shuffle.
+    # CC is duplicate-invariant (union/min-label), so below the
+    # threshold the raw edges feed CC directly. The decision re-derives
+    # deterministically on resume (parquet footer row counts).
+    from idf.stages.cc import count_edge_rows
+
+    raw_edge_dirs = [man.stage_dir("edges_band")] + (
+        [man.stage_dir("edges_caption")] if cfg.caption_lsh else []
+    )
+    if count_edge_rows([(d, None) for d in raw_edge_dirs]) > cfg.edge_dedup_min_rows:
+        dedup_stages = [
+            (f"{os.path.basename(d)}_dedup", lambda d=d: dedup_edges(_read(d), with_phash=True))
+            for d in raw_edge_dirs
+        ]
+        man.run_stages_concurrent(dedup_stages)
+        edge_dirs = [man.stage_dir(f"{os.path.basename(d)}_dedup") for d in raw_edge_dirs]
+    else:
+        edge_dirs = raw_edge_dirs
+
     # 4. connected components -> clusters (singletons fall out naturally:
     #    only edge-participating nodes appear; Commands.java:149-151 analog).
     #    dist-0 edges come straight from the collapse stages' KIND_EDGE
     #    rows — no separate exact-edges stage or barrier.
-    edge_sources = [
-        (man.stage_dir("edges_band"), None),
+    edge_sources = [(d, None) for d in edge_dirs] + [
         (local_dir, int(KIND_EDGE)),
         (collapsed_dir, int(KIND_EDGE)),
     ]
-    phash_dirs = [man.stage_dir("edges_band")]
-    if cfg.caption_lsh:
-        edge_sources.insert(1, (man.stage_dir("edges_caption"), None))
-        phash_dirs.append(man.stage_dir("edges_caption"))
+    phash_dirs = list(edge_dirs)
 
     clusters_dir = man.run_stage(
         "clusters",

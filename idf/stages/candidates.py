@@ -117,7 +117,7 @@ def global_collapse(local_distinct: rd.Dataset) -> rd.Dataset:
 
     from idf.ops import bucketed_apply
 
-    return bucketed_apply(local_distinct, "phash", _merge_bucket)
+    return bucketed_apply(local_distinct, "phash", _merge_bucket, polars_sort=True)
 
 
 # ---------------------------------------------------------------------------
@@ -319,7 +319,10 @@ def band_edges(
     from idf.ops import bucketed_apply
 
     return bucketed_apply(
-        expanded, "key", make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap, collapse_identical)
+        expanded,
+        "key",
+        make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap, collapse_identical),
+        polars_sort=True,  # key/id/phash: all primitive columns
     )
 
 
@@ -364,7 +367,9 @@ def caption_edges(hashes_ok: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     # fn (the collapse stage already links those at dist 0)
     from idf.ops import bucketed_apply
 
-    return bucketed_apply(banded, "key", make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap))
+    return bucketed_apply(
+        banded, "key", make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap), polars_sort=True
+    )
 
 
 def dedup_edges(edges: rd.Dataset, with_phash: bool = False) -> rd.Dataset:
@@ -383,7 +388,7 @@ def dedup_edges(edges: rd.Dataset, with_phash: bool = False) -> rd.Dataset:
     if with_phash:
         aggs["phash_a"] = ("phash_a", "first")
         aggs["phash_b"] = ("phash_b", "first")
-    return bucketed_aggregate(edges, ["id_a", "id_b"], aggs)
+    return bucketed_aggregate(edges, ["id_a", "id_b"], aggs, polars_sort=True)
 
 
 def _cpus() -> int:

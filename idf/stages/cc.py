@@ -276,6 +276,16 @@ def components_phash_driver(phash_edge_dirs: list[str], hashes_dir: str) -> pa.T
         te = pads.dataset(files).to_table(columns=["phash_a", "phash_b"])
         ha = te["phash_a"].to_numpy(zero_copy_only=False)
         hb = te["phash_b"].to_numpy(zero_copy_only=False)
+        # the raw edge list repeats each pair ~once per band key it
+        # surfaced from (~37x at sf0.1); dedup keeps label propagation
+        # + factorize on the ~distinct graph. Hash-based (factorize x2
+        # -> injective combined key -> duplicated): O(E) with no sort.
+        lo, hi = np.minimum(ha, hb), np.maximum(ha, hb)
+        ia, _ = pd.factorize(lo)
+        ib, ub = pd.factorize(hi)
+        pairkey = ia.astype(np.int64) * np.int64(len(ub)) + ib
+        keep = ~pd.Series(pairkey).duplicated().to_numpy()
+        ha, hb = lo[keep], hi[keep]
     else:
         ha = hb = np.array([], dtype=np.int64)
     endpoints = np.concatenate([ha, hb])

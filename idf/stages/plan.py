@@ -150,4 +150,4 @@ def plan_stage(
         joined = clusters.map_batches(_attach, batch_format="pandas")
     else:
         joined = hash_join(clusters, meta, on="image_id")
-    return bucketed_apply(joined, "cluster_id", elect_keeper_bucket)
+    return bucketed_apply(joined, "cluster_id", elect_keeper_bucket, polars_sort=True)

@@ -153,3 +153,27 @@ def test_labelprop_equals_driver_cc(ray_session, small_images_table, tmp_path_fa
     table = pq.read_table(small_images_table)
     _, comps, _ = oracle_end_to_end(table, radius=10)
     assert got == {c for c in comps if len(c) >= 2}
+
+
+def test_edge_dedup_path_same_clusters(ray_session, small_images_table, tmp_path_factory):
+    """Forcing the large-scale edge-dedup stages (edge_dedup_min_rows=0)
+    leaves the cluster partition unchanged — CC is duplicate-invariant,
+    the dedup shuffle only shrinks its input."""
+    base_dir = str(tmp_path_factory.mktemp("nodedup"))
+    ded_dir = str(tmp_path_factory.mktemp("dedup"))
+    run_dedup(small_images_table, base_dir, DedupConfig(), resume=False, do_apply=False)
+    man = run_dedup(
+        small_images_table,
+        ded_dir,
+        DedupConfig(edge_dedup_min_rows=0),
+        resume=False,
+        do_apply=False,
+    )
+    assert man.is_committed("edges_band_dedup")  # the path actually ran
+    part_a = _partition(
+        read_stage(base_dir, "clusters").to_pandas()[["cluster_id", "image_id"]].itertuples(index=False)
+    )
+    part_b = _partition(
+        read_stage(ded_dir, "clusters").to_pandas()[["cluster_id", "image_id"]].itertuples(index=False)
+    )
+    assert part_a == part_b
