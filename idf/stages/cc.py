@@ -274,18 +274,22 @@ def components_phash_driver(phash_edge_dirs: list[str], hashes_dir: str) -> pa.T
     files = [f for files, _ in _source_files([(d, None) for d in phash_edge_dirs]) for f in files]
     if files:
         te = pads.dataset(files).to_table(columns=["phash_a", "phash_b"])
-        ha = te["phash_a"].to_numpy(zero_copy_only=False)
-        hb = te["phash_b"].to_numpy(zero_copy_only=False)
         # the raw edge list repeats each pair ~once per band key it
         # surfaced from (~37x at sf0.1); dedup keeps label propagation
-        # + factorize on the ~distinct graph. Hash-based (factorize x2
-        # -> injective combined key -> duplicated): O(E) with no sort.
-        lo, hi = np.minimum(ha, hb), np.maximum(ha, hb)
-        ia, _ = pd.factorize(lo)
-        ib, ub = pd.factorize(hi)
-        pairkey = ia.astype(np.int64) * np.int64(len(ub)) + ib
-        keep = ~pd.Series(pairkey).duplicated().to_numpy()
-        ha, hb = lo[keep], hi[keep]
+        # + factorize on the ~distinct graph. Done entirely in Arrow C++
+        # (min/max_element_wise + hash-group-by distinct): Arrow's
+        # memory pool reuses already-faulted pages, where the numpy
+        # equivalent's fresh allocations page-fault at ~11 MB/s under
+        # this hypervisor's storms (measured 26s numpy vs 0.2s Arrow on
+        # 4.9M edges; CC output is order-invariant so group_by's
+        # nondeterministic row order is fine).
+        lo_a = pc.min_element_wise(te["phash_a"], te["phash_b"])
+        hi_a = pc.max_element_wise(te["phash_a"], te["phash_b"])
+        dist = (
+            pa.table({"a": lo_a, "b": hi_a}).group_by(["a", "b"], use_threads=True).aggregate([])
+        )
+        ha = dist["a"].to_numpy(zero_copy_only=False)
+        hb = dist["b"].to_numpy(zero_copy_only=False)
     else:
         ha = hb = np.array([], dtype=np.int64)
     endpoints = np.concatenate([ha, hb])
