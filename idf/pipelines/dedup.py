@@ -69,11 +69,21 @@ def run_dedup(
     hashes_dir = man.run_stage("hashes", lambda: fused_hash_stage(images_path, cfg))
     ok_filter = pads.field("status") == "ok"
 
-    # skip/ok counters -> manifest metrics (the reference's stderr skips, M9)
-    cdf = _read(hashes_dir, columns=["status"]).groupby("status").count().to_pandas()
-    cnt_col = next(c for c in cdf.columns if c != "status")
+    # skip/ok counters -> manifest metrics (the reference's stderr skips,
+    # M9). One local pyarrow scan of the single status column — a Ray
+    # groupby job for a 3-value count was ~1s of fixed driver overhead.
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(
+        pads.dataset(hashes_dir).to_table(columns=["status"])["status"].combine_chunks()
+    )
     man.record_metrics(
-        "hashes", {"status_counts": {s: int(n) for s, n in zip(cdf["status"], cdf[cnt_col])}}
+        "hashes",
+        {
+            "status_counts": {
+                s.as_py(): n.as_py() for s, n in zip(vc.field("values"), vc.field("counts"))
+            }
+        },
     )
 
     # 2. exact-hash collapse: local combiner (no shuffle) ...

@@ -422,8 +422,11 @@ def connected_components(
     parquet_sources: list[EdgeSource] | None = None,
     phash_edge_dirs: list[str] | None = None,
     hashes_dir: str | None = None,
-) -> rd.Dataset:
+) -> rd.Dataset | pa.Table:
     """Dispatch per cfg.cc_mode ('driver' | 'labelprop' | 'auto').
+
+    Driver paths return a local ``pa.Table`` (the manifest writes it
+    with pyarrow directly — no Ray job); labelprop returns a Dataset.
 
     ``parquet_sources``: when the edges already live in local stage
     parquet (the manifest pipeline), pass (dir, kind-filter) pairs —
@@ -437,15 +440,15 @@ def connected_components(
     if phash_edge_dirs is not None and hashes_dir is not None and mode != "labelprop":
         n_edges = count_edge_rows([(d, None) for d in phash_edge_dirs])
         if mode == "driver" or n_edges <= limit:
-            return rd.from_arrow(components_phash_driver(phash_edge_dirs, hashes_dir))
+            return components_phash_driver(phash_edge_dirs, hashes_dir)
         if parquet_sources is not None:
             return components_labelprop(_sources_dataset(parquet_sources))
     if parquet_sources is not None:
         if mode == "labelprop" or (mode == "auto" and count_edge_rows(parquet_sources) > limit):
             return components_labelprop(_sources_dataset(parquet_sources))
-        return rd.from_arrow(components_driver_files(parquet_sources))
+        return components_driver_files(parquet_sources)
     if mode == "labelprop":
         return components_labelprop(edges)
     if mode == "auto" and edges.count() > limit:
         return components_labelprop(edges)
-    return rd.from_arrow(components_driver(edges))
+    return components_driver(edges)

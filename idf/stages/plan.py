@@ -82,10 +82,11 @@ def elect_keeper_group(g: pd.DataFrame) -> pd.DataFrame:
 
 def plan_stage_files(
     clusters_dir: str, hashes_dir: str, driver_max_rows: int = 10_000_000
-) -> rd.Dataset | None:
+) -> pd.DataFrame | None:
     """Driver fast path: when the cluster membership fits the driver
     (it is the near-dup MINORITY of the corpus), the whole election is
-    one pandas merge + one vectorized sort — no Ray jobs at all.
+    one pandas merge + one vectorized sort — no Ray jobs at all (the
+    manifest writes the returned DataFrame with pyarrow directly).
     Returns None past the threshold (caller falls back to the
     distributed ``plan_stage``)."""
     import glob
@@ -106,7 +107,7 @@ def plan_stage_files(
     joined = cl.merge(meta, on="image_id", how="left")
     joined["pixels"] = joined["pixels"].fillna(-1).astype(np.int64)
     joined["size"] = joined["size"].fillna(-1).astype(np.int64)
-    return rd.from_pandas(elect_keeper_bucket(joined))
+    return elect_keeper_bucket(joined)
 
 
 def plan_stage(

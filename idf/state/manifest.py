@@ -21,6 +21,9 @@ import threading
 import time
 from typing import Callable
 
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 import ray.data as rd
 
 MANIFEST_NAME = "manifest.json"
@@ -79,9 +82,17 @@ class RunManifest:
         if os.path.exists(out):
             shutil.rmtree(out)
         ds = build()
-        if coalesce is not None:
-            ds = ds.repartition(coalesce)
-        ds.write_parquet(tmp)
+        if isinstance(ds, (pa.Table, pd.DataFrame)):
+            # driver fast paths (CC, plan election) return a local table;
+            # writing it with pyarrow directly skips a whole Ray
+            # from_arrow -> write job (~1.5s of fixed overhead per stage)
+            os.makedirs(tmp, exist_ok=True)
+            table = pa.Table.from_pandas(ds, preserve_index=False) if isinstance(ds, pd.DataFrame) else ds
+            pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+        else:
+            if coalesce is not None:
+                ds = ds.repartition(coalesce)
+            ds.write_parquet(tmp)
         os.replace(tmp, out)
         parts = self._partition_lineage(out)
         with self._lock:
