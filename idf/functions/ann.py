@@ -105,6 +105,35 @@ def cosine_topk(
         g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64), sim=g["sim"].round(6))
         return g
 
+    # the partial set holds <= nq*k rows per input batch. When that
+    # total fits the driver comfortably, a local pandas reduce replaces
+    # the groupby shuffle (~3s of fixed Ray overhead at 32 CPUs for a
+    # 40-row answer); past the bound the distributed groupby runs.
+    try:
+        n_rows = embeddings.count()
+    except Exception:
+        n_rows = None
+    if n_rows is not None and len(qids) * k * max(1, n_rows // 4096 + 1) <= 2_000_000:
+        parts = [b for b in partial.iter_batches(batch_size=65536, batch_format="pandas")]
+        allp = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "neighbor_id": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                    "rank": pd.Series([], dtype=np.int64),
+                }
+            )
+        )
+        out = (
+            allp.sort_values("vec_id", kind="mergesort")
+            .groupby("vec_id", sort=True, group_keys=False)[allp.columns.tolist()]
+            .apply(_reduce)
+            .reset_index(drop=True)
+        )
+        return rd.from_pandas(out)
     return partial.groupby("vec_id").map_groups(_reduce, batch_format="pandas")
 
 

@@ -258,7 +258,68 @@ def minhash_lsh_pairs(
     # per-pair verify groupby — no dedup shuffle needed.
     cands = bucketed_apply(banded, "key", _cand_bucket, polars_sort=True).materialize()
 
-    # melt each pair into two (doc_id, pair) rows; ONE join moves text
+    text_side = docs.select_columns(["doc_id", "text"])
+    if cands.count() <= 2_500_000:
+        # SMALL-CANDIDATE fast path (the common case: candidates are a
+        # vanishing fraction of the corpus). Collect the id pairs once,
+        # dedup them in Arrow on the driver, broadcast the ~|members|
+        # texts via ray.put, and verify in ONE map_batches — this
+        # replaces two full shuffles (melt + hash_join, then the
+        # per-pair groupby) that cost ~6s of fixed overhead at 32 CPUs
+        # for a 7k-pair candidate set.
+        import pyarrow as pa
+        import ray
+
+        from idf.ops import get_broadcast
+
+        parts = list(cands.iter_batches(batch_size=262144, batch_format="pyarrow"))
+        ct = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table(
+                {"doc_id_a": pa.array([], pa.int64()), "doc_id_b": pa.array([], pa.int64())}
+            )
+        )
+        # same pair surfaces from several bands -> Arrow distinct
+        ct = ct.group_by(["doc_id_a", "doc_id_b"], use_threads=True).aggregate([])
+        idset = set(ct["doc_id_a"].to_pylist()) | set(ct["doc_id_b"].to_pylist())
+        texts_df = broadcast_semi_join(text_side, "doc_id", idset).to_pandas()
+        text_ref = ray.put(dict(zip(texts_df["doc_id"], texts_df["text"])))
+
+        def _verify_broadcast(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return _empty_pairs()
+            texts = get_broadcast(text_ref)
+            cache: dict[int, set] = {}
+
+            def sset(doc_id: int) -> set:
+                s = cache.get(doc_id)
+                if s is None:
+                    t = texts.get(doc_id)
+                    s = set(shingle_hashes("" if t is None else t, k).tolist())
+                    cache[doc_id] = s
+                return s
+
+            rows = []
+            for a, b in zip(df["doc_id_a"].to_numpy(np.int64), df["doc_id_b"].to_numpy(np.int64)):
+                sa, sb = sset(int(a)), sset(int(b))
+                inter = len(sa & sb)
+                if not inter:
+                    continue
+                jac = inter / (len(sa) + len(sb) - inter)
+                if jac >= tau:
+                    rows.append((a, b, round(jac, 6)))
+            if not rows:
+                return _empty_pairs()
+            return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "jaccard"]).astype(
+                {"doc_id_a": np.int64, "doc_id_b": np.int64}
+            )
+
+        return rd.from_arrow(ct).map_batches(_verify_broadcast, batch_format="pandas")
+
+    # LARGE-CANDIDATE path: melt each pair into two (doc_id, pair) rows;
+    # ONE hash join moves text to its pairs, then a per-pair groupby
+    # verifies — nothing is collected on the driver.
     def _melt(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             out = _empty_pairs(("doc_id_a", "doc_id_b"))
@@ -271,16 +332,6 @@ def minhash_lsh_pairs(
         return both
 
     sides = cands.map_batches(_melt, batch_format="pandas")
-    text_side = docs.select_columns(["doc_id", "text"])
-    if cands.count() <= 2_500_000:
-        # semi-filter the docs to candidate members first (broadcast id
-        # set) so the join's text side is tiny; past the threshold the
-        # full co-group join runs (text crosses the wire once either way)
-        idset: set = set()
-        for b in cands.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            idset.update(b["doc_id_a"].to_pylist())
-            idset.update(b["doc_id_b"].to_pylist())
-        text_side = broadcast_semi_join(text_side, "doc_id", idset)
     joined = hash_join(sides, text_side, on="doc_id")
 
     def _verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
