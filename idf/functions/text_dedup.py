@@ -58,6 +58,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     hot_cap: int = 2000,
     broadcast_max_docs: int = 2_000_000,
+    driver_agg_max_partials: int = 2_500_000,
 ) -> rd.Dataset:
     """EXACT all near-dup pairs with word-k-gram Jaccard >= tau.
 
@@ -81,8 +82,6 @@ def ngram_jaccard_pairs(
     than ``k`` tokens emit no shingles at all (short="drop"), matching
     the SQL trigram oracle.
     """
-    from ray.data.aggregate import Count, Sum
-
     from idf.ops import bucketed_apply
 
     # two consumers (pair counts + sizes): materialize the small
@@ -111,14 +110,6 @@ def ngram_jaccard_pairs(
 
     from idf.ops import bucketed_aggregate
 
-    # per-PAIR sum: millions of tiny groups -> bucketed pandas agg, not
-    # the per-group native aggregate
-    inter = bucketed_aggregate(
-        bucketed_apply(shingles, "shingle", _bucket_counts, polars_sort=True),
-        ["id_a", "id_b"],
-        {"n_common": ("n_common", "sum")},
-    )
-
     def _jaccard_filter(df: pd.DataFrame, n_a: np.ndarray, n_b: np.ndarray) -> pd.DataFrame:
         # raw IEEE double division of exact ints — bit-identical to
         # the SQL oracle's c*1.0/(na+nb-c), so the value-hash matches
@@ -133,14 +124,64 @@ def ngram_jaccard_pairs(
             }
         )
 
-    # per-doc shingle-set sizes: one int per document. Below
-    # ``broadcast_max_docs`` that is a classic broadcast side (ray.put
-    # once); past it the sizes stay distributed and join in via two
-    # bucketed hash_joins (the driver dict would OOM at billions of
-    # docs — r1 verdict fix, auto-switched like cc_mode="auto").
-    # The gate uses docs.count() (parquet metadata, no compute) — an
-    # aggregate-side count would execute the shingle aggregate twice.
-    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
+    partials = bucketed_apply(shingles, "shingle", _bucket_counts, polars_sort=True).materialize()
+
+    # per-doc shingle counts WITHOUT a shuffle: _shingle_rows emits all
+    # of a doc's shingle rows inside one output batch, so a per-batch
+    # groupby-size is already the exact global count per doc. (The Ray
+    # groupby(doc_id).Count() it replaces cost a full shuffle for one
+    # int per document.)
+    def _batch_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("doc_id", sort=False).size()
+        return pd.DataFrame(
+            {"doc_id": s.index.to_numpy(np.int64), "n_shingles": s.to_numpy(np.int64)}
+        )
+
+    sizes = shingles.map_batches(_batch_sizes, batch_format="pandas")
+
+    # SMALL-PARTIAL fast path: candidate-pair partial counts are tiny
+    # next to the corpus in the common case — collect once, Arrow
+    # group-by sum on the driver, filter locally. Replaces the pair-sum
+    # shuffle + finalize job (~5s of fixed overhead at 32 CPUs).
+    if partials.count() <= driver_agg_max_partials:
+        import pyarrow as pa
+
+        parts = list(partials.iter_batches(batch_size=262144, batch_format="pyarrow"))
+        pt = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "n_common": pa.array([], pa.int64()),
+                }
+            )
+        )
+        agg = pt.group_by(["id_a", "id_b"], use_threads=True).aggregate([("n_common", "sum")])
+        df = agg.rename_columns(["id_a", "id_b", "n_common"]).to_pandas()
+        sizes_df = sizes.to_pandas()
+        m = dict(zip(sizes_df["doc_id"], sizes_df["n_shingles"]))
+        if df.empty:
+            return rd.from_pandas(_empty_pairs())
+        out = _jaccard_filter(
+            df, df["id_a"].map(m).to_numpy(np.int64), df["id_b"].map(m).to_numpy(np.int64)
+        )
+        return rd.from_pandas(out)
+
+    # per-PAIR sum: millions of tiny groups -> bucketed pandas agg, not
+    # the per-group native aggregate
+    inter = bucketed_aggregate(
+        partials,
+        ["id_a", "id_b"],
+        {"n_common": ("n_common", "sum")},
+    )
+
+    # LARGE-PARTIAL path: per-doc sizes attach either via broadcast
+    # (below ``broadcast_max_docs``) or two bucketed hash_joins (the
+    # driver dict would OOM at billions of docs — r1 verdict fix,
+    # auto-switched like cc_mode="auto"). The gate uses docs.count()
+    # (parquet metadata, no compute).
     if docs.count() <= broadcast_max_docs:
         import ray
 
@@ -207,6 +248,7 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 32,
     seed: int = 42,
+    broadcast_max_cands: int = 2_500_000,
 ) -> rd.Dataset:
     """Candidate pairs from MinHash banding, verified with EXACT Jaccard,
     so precision is exact; recall is the standard LSH s-curve.
@@ -259,7 +301,7 @@ def minhash_lsh_pairs(
     cands = bucketed_apply(banded, "key", _cand_bucket, polars_sort=True).materialize()
 
     text_side = docs.select_columns(["doc_id", "text"])
-    if cands.count() <= 2_500_000:
+    if cands.count() <= broadcast_max_cands:
         # SMALL-CANDIDATE fast path (the common case: candidates are a
         # vanishing fraction of the corpus). Collect the id pairs once,
         # dedup them in Arrow on the driver, broadcast the ~|members|

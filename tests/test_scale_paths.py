@@ -65,10 +65,14 @@ def test_ngram_join_sizes_path(ray_session):
     )
     ds = rd.from_pandas(docs)
     small = ngram_jaccard_pairs(ds, tau=0.5).to_pandas()
-    # broadcast_max_docs=0 forces the distributed hash_join sizes path
-    big = ngram_jaccard_pairs(ds, tau=0.5, broadcast_max_docs=0).to_pandas()
+    # driver_agg_max_partials=0 forces the distributed pair-sum path;
+    # broadcast_max_docs=0 additionally forces the hash_join sizes path
+    mid = ngram_jaccard_pairs(ds, tau=0.5, driver_agg_max_partials=0).to_pandas()
+    big = ngram_jaccard_pairs(
+        ds, tau=0.5, driver_agg_max_partials=0, broadcast_max_docs=0
+    ).to_pandas()
     key = lambda df: sorted(zip(df["doc_id_a"], df["doc_id_b"], df["jaccard"].round(9)))
-    assert key(small) == key(big)
+    assert key(small) == key(mid) == key(big)
     assert len(small) > 0
 
 

@@ -105,6 +105,11 @@ def test_minhash_lsh_high_tau(docs):
     assert gotpairs <= want.keys() or not want
     if want:
         assert len(gotpairs & want.keys()) / len(want) >= 0.9
+    # broadcast_max_cands=0 forces the melt + hash_join verify path;
+    # identical pairs and jaccard values
+    big = minhash_lsh_pairs(docs, tau=tau, broadcast_max_cands=0).to_pandas()
+    key = lambda df: sorted(zip(df["doc_id_a"], df["doc_id_b"], df["jaccard"].round(9)))
+    assert key(big) == key(got)
 
 
 def test_simhash_deterministic_and_pairs(docs):
