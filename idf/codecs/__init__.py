@@ -33,7 +33,30 @@ def sniff(data: bytes) -> str | None:
         return "jpg"
     if data[:2] == _bmp.MAGIC:
         return "bmp"
+    if data[:3] == b"\xff\xd8\xff":  # real JPEG/JFIF SOI marker
+        return "jfif"
     return None
+
+
+def decode_jfif_rgb(data) -> np.ndarray:
+    """Real JPEG/JFIF bytes -> RGB uint8 (H, W, 3) via an optional
+    system codec (Pillow). The deployment seam the reference's
+    ImageIO.read covers (core/ImageLoader.java:7-11): this sandbox
+    ships no libjpeg binding, so real-JPEG rows decode when Pillow is
+    installed and become per-row ``skip:decode`` rows otherwise —
+    never a pipeline failure."""
+    try:
+        from PIL import Image  # optional dependency, absent in-sandbox
+    except ImportError as exc:
+        raise DecodeError(
+            "real JPEG/JFIF payload but no JPEG codec is installed "
+            "(pip install Pillow to enable; the sandbox test corpus "
+            "uses the self-contained FJPG container instead)"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(bytes(data))) as img:
+        return np.asarray(img.convert("RGB"))
 
 
 def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
@@ -46,6 +69,8 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
             return decode_png(data)
         if kind == "bmp":
             return decode_bmp(data)
+        if kind == "jfif":
+            return decode_jfif_rgb(data)
         return decode_fjpg(data)
     except DecodeError:
         raise
@@ -68,6 +93,8 @@ def decode_luma(data: bytes, fmt: str | None = None) -> np.ndarray:
     try:
         if kind == "jpg":
             return _fjpg.decode_fjpg_luma(data)
+        if kind == "jfif":
+            return luma601_u8(decode_jfif_rgb(data))
         return luma601_u8(decode_png(data) if kind == "png" else decode_bmp(data))
     except DecodeError:
         raise
@@ -101,6 +128,8 @@ def decode_luma_scaled(
             from idf.codecs.png import decode_png_luma
 
             gray = decode_png_luma(data)
+        elif kind == "jfif":
+            gray = luma601_u8(decode_jfif_rgb(data))  # no scaled path
         else:
             gray = luma601_u8(decode_bmp(data if isinstance(data, bytes) else bytes(data)))
         return gray, gray.shape[0], gray.shape[1]

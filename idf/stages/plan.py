@@ -35,7 +35,15 @@ def elect_keeper_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """Vectorized keeper election over a WHOLE shuffle bucket of
     clusters: one sort + one cumcount ranks every cluster at once (the
     per-cluster comparator of Commands.java:212-221, without a python
-    loop over clusters)."""
+    loop over clusters).
+
+    When the source carries an ``mtime`` column it joins the comparator
+    exactly where the reference puts it — pixels desc, size desc,
+    **mtime asc (older wins, Commands.java:218)**, id — and the reason
+    strings gain the reference's ``,mtime=`` field (Commands.java:226).
+    Sources without mtime (the synthetic corpus) elect on the remaining
+    keys, the documented schema adaptation (SURVEY §2.4 A3)."""
+    has_mtime = "mtime" in g.columns
     if g.empty:
         return pd.DataFrame(
             {
@@ -47,9 +55,11 @@ def elect_keeper_bucket(g: pd.DataFrame) -> pd.DataFrame:
                 "size": pd.Series([], dtype="int64"),
             }
         )
+    sort_cols = ["cluster_id", "pixels", "size"] + (["mtime"] if has_mtime else [])
+    ascending = [True, False, False] + ([True] if has_mtime else [])
     g = g.assign(__lower=g["image_id"].str.lower()).sort_values(
-        ["cluster_id", "pixels", "size", "__lower", "image_id"],
-        ascending=[True, False, False, True, True],
+        sort_cols + ["__lower", "image_id"],
+        ascending=ascending + [True, True],
         kind="mergesort",
     )
     rank = g.groupby("cluster_id", sort=False).cumcount()
@@ -61,6 +71,7 @@ def elect_keeper_bucket(g: pd.DataFrame) -> pd.DataFrame:
         + g["pixels"].astype(str)
         + ",size="
         + g["size"].astype(str)
+        + (",mtime=" + g["mtime"].astype(str) if has_mtime else "")
         + ")"
     )
     return pd.DataFrame(

@@ -141,3 +141,23 @@ def test_png_luma_fused_filtered_fallback():
         + _chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png_luma(data), luma601_u8(decode_png(data)))
+
+
+def test_real_jpeg_seam():
+    """Real JPEG/JFIF bytes are recognized and route to the optional
+    Pillow codec; without Pillow they raise DecodeError (-> per-row
+    skip), never an unhandled crash (core/ImageLoader.java:7-11 seam)."""
+    from idf.codecs import decode_luma, decode_luma_scaled
+
+    fake_jfif = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    assert sniff(fake_jfif) == "jfif"
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        for fn in (decode, decode_luma, lambda d: decode_luma_scaled(d, 16)):
+            with pytest.raises(DecodeError, match="JPEG codec"):
+                fn(fake_jfif)

@@ -177,3 +177,31 @@ def test_edge_dedup_path_same_clusters(ray_session, small_images_table, tmp_path
         read_stage(ded_dir, "clusters").to_pandas()[["cluster_id", "image_id"]].itertuples(index=False)
     )
     assert part_a == part_b
+
+
+def test_elect_keeper_mtime_key():
+    """Sources with an mtime column elect with the reference's full
+    comparator: pixels desc, size desc, mtime ASC (older wins,
+    Commands.java:218), id — and reasons carry mtime= (Commands.java:226)."""
+    import pandas as pd
+
+    from idf.stages.plan import elect_keeper_bucket
+
+    g = pd.DataFrame(
+        {
+            "cluster_id": ["c"] * 3,
+            "image_id": ["b.png", "a.png", "c.png"],
+            "pixels": [100, 100, 100],
+            "size": [10, 10, 10],
+            "mtime": [100, 200, 300],
+        }
+    )
+    out = elect_keeper_bucket(g)
+    keep = out[out["action"] == "KEEP"]
+    # oldest mtime wins even though the id tiebreak would pick a.png
+    assert list(keep["image_id"]) == ["b.png"]
+    assert "mtime=100" in keep["reason"].iloc[0]
+    # without mtime the id breaks the tie instead
+    out2 = elect_keeper_bucket(g.drop(columns=["mtime"]))
+    assert list(out2[out2["action"] == "KEEP"]["image_id"]) == ["a.png"]
+    assert "mtime" not in out2["reason"].iloc[0]
