@@ -31,6 +31,16 @@ def _stack(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def _stack_arrow(col) -> np.ndarray:
+    """Arrow list<float> column -> (n, d) float64 matrix, zero row-loop.
+
+    ``flatten()`` honors slice offsets (``.values`` would not)."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.maximum(n, 1e-12)
@@ -281,18 +291,27 @@ def ivf_pairs(
 
     from idf.ops import bucketed_apply, get_broadcast
 
-    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+    def _assign(t) -> "pa.Table":
+        # Arrow in/out: the embedding column must stay a REAL Arrow list
+        # column through the bucket shuffle. A pandas version of this
+        # stage emitted an object-dtype column that Ray stores as a
+        # pickled extension array — polars' from_arrow PANICS on those,
+        # and sort-exchange tasks inherit a stale use_polars_sort=True
+        # from reused workers (Ray's sort map tasks, unlike map tasks,
+        # never set the worker's DataContext).
+        import pyarrow as pa
+
         c = get_broadcast(cents_ref)
-        if df.empty:
-            return df.assign(cell=pd.Series([], dtype=np.int64))
-        m = _normalize(_stack(df["embedding"]))
+        t = t.select(["vec_id", "embedding"])
+        n = len(t)
+        if not n:
+            return t.append_column("cell", pa.array([], pa.int64()))
+        m = _normalize(_stack_arrow(t["embedding"]))
         cells = np.argsort(-(m @ c.T), axis=1)[:, :assign_probe]
-        frames = []
-        for p in range(cells.shape[1]):
-            sub = df[["vec_id", "embedding"]].copy()
-            sub["cell"] = cells[:, p]
-            frames.append(sub)
-        return pd.concat(frames, ignore_index=True)
+        idx = np.tile(np.arange(n, dtype=np.int64), assign_probe)
+        out = t.take(pa.array(idx))
+        # cells.T.ravel() is probe-major: copy p carries cells[:, p]
+        return out.append_column("cell", pa.array(cells.T.ravel().astype(np.int64)))
 
     def _cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -327,7 +346,7 @@ def ivf_pairs(
         return pd.concat(outs, ignore_index=True)
 
     expanded = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
-        _assign, batch_format="pandas"
+        _assign, batch_format="pyarrow"
     )
     pairs = bucketed_apply(expanded, "cell", _cell_pairs)
     # a pair found in two shared cells surfaces twice

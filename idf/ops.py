@@ -24,24 +24,26 @@ def available_cpus(default: int = 4) -> int:
         return default
 
 
-def tune_context(polars_sort: bool = False) -> None:
-    """Set the shuffle-sort backend for datasets constructed NEXT.
+def set_graph_polars_sort(ds: rd.Dataset, polars_sort: bool) -> None:
+    """Set the shuffle-sort backend for the graph rooted at ``ds``.
 
-    Ray copies the ambient DataContext into each Dataset at
-    CONSTRUCTION (verified on 2.49: flipping the flag after
-    construction does not affect execution), so this is a
-    per-pipeline-construction switch, not a global toggle.
+    Ray copies the ambient ``DataContext`` into each ROOT dataset at
+    construction, and every derived dataset shares that same context
+    object (verified on 2.49: the executor honors ``ds.context``, not
+    the ambient context, and not the ambient value at groupby
+    construction). Mutating the ambient context instead (the r1
+    approach) both FAILED to scope the flag and LEAKED it into later
+    root constructions — a leaked ``True`` made ``ivf_pairs`` panic
+    (pyo3 Utf8Error) shuffling its embedding column.
 
     polars-backed sort blocks measured 2.7x faster shuffle reduce for
     the edge-dedup groupby and ~25% on the banding stage at sf0.1 —
     but polars' ``from_arrow`` PANICS (pyo3 Utf8Error) on Ray's
     pickled object-extension columns (e.g. numpy-object embedding
     lists), so callers may only pass True when every shuffled column
-    is a plain primitive type."""
+    in the graph is a plain primitive type."""
     try:
-        from ray.data import DataContext
-
-        ctx = DataContext.get_current()
+        ctx = ds.context
         if hasattr(ctx, "use_polars_sort"):
             ctx.use_polars_sort = polars_sort
     except Exception:
@@ -80,7 +82,7 @@ def bucketed_apply(
     distinct-key count) rather than on raw keys.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    tune_context(polars_sort)
+    set_graph_polars_sort(ds, polars_sort)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # Arrow in/out: only the KEY columns materialize to pandas for

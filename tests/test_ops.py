@@ -166,3 +166,44 @@ def test_bucketed_group_apply_per_group(tables):
     out = bucketed_group_apply(rd.from_pandas(left), "k", per_group).to_pandas()
     want = left.groupby("k")["v"].max()
     assert dict(zip(out["k"], out["vmax"])) == pytest.approx(dict(want))
+
+
+def test_polars_sort_flag_scoped_to_graph(tables, ray_session, tmp_path):
+    """r2 regression: a polars_sort=True helper must not leak the flag
+    into later-constructed roots (a leaked True made ivf_pairs panic
+    inside polars' from_arrow on the pickled embedding column), and a
+    helper passed False must win even when the root inherited True
+    from the ambient context."""
+    import numpy as np
+    from ray.data import DataContext
+
+    left, _ = tables
+    ambient = DataContext.get_current()
+    assert not getattr(ambient, "use_polars_sort", False)
+
+    # polars_sort=True is applied to the graph, not the ambient context
+    ds = rd.from_pandas(left)
+    bucketed_apply(ds, "k", lambda g: g, polars_sort=True).materialize()
+    assert ds.context.use_polars_sort
+    assert not getattr(DataContext.get_current(), "use_polars_sort", False)
+
+    # a root that inherited True still executes object-column shuffles
+    # safely once a polars_sort=False helper scopes it back
+    ambient.use_polars_sort = True
+    try:
+        df = pd.DataFrame(
+            {
+                "k": np.arange(64) % 7,
+                "emb": [np.random.default_rng(i).random(4) for i in range(64)],
+            }
+        )
+        p = tmp_path / "emb.parquet"
+        df.to_parquet(p)
+        root = rd.read_parquet(str(p))
+        assert root.context.use_polars_sort
+        out = bucketed_apply(
+            root, "k", lambda g: g.head(1), polars_sort=False
+        ).to_pandas()
+        assert set(out["k"]) == set(range(7))
+    finally:
+        ambient.use_polars_sort = False
