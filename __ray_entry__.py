@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ngram_jaccard_pairs,
         simhash_docs,
         simhash_pairs,
+        substring_dup_positions,
+        substring_dup_spans,
     )
     from idf.ops import count_by, elect_top1, filter_min_group_size, hash_join
 
@@ -228,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "doc_lang_id": lambda sf: lang_id(_docs(sf)),
         "doc_winnow_fp": lambda sf: winnow_fingerprints(_docs(sf)),
+        "doc_substring_dups": lambda sf: substring_dup_positions(_docs(sf), min_len=30),
+        "doc_substring_spans": lambda sf: substring_dup_spans(_docs(sf), min_len=30),
         "emb_cosine_topk": lambda sf: cosine_topk(_emb(sf), list(range(8)), k=5).select_columns(
             ["vec_id", "neighbor_id", "rank"]
         ),
@@ -537,6 +541,50 @@ def _minhash_sql(tau: float = 0.8, k: int = 3, num_perm: int = 128, bands: int =
     """
 
 
+def _substring_dup_cte(L: int = 30) -> str:
+    """Duplicated L-char window positions (Lee et al. substring dedup):
+    every window of length L occurring >= 2 times corpus-wide, as
+    (doc_id, pos) with pos 0-indexed — mirrors
+    idf/functions/text_dedup.py: substring_dup_positions."""
+    return f"""
+        nums AS (
+          SELECT unnest(range(1, (SELECT coalesce(max(length(text)), 0)
+                                  FROM documents) + 1))::INT AS i
+        ),
+        win AS (
+          SELECT d.doc_id, n.i, substr(d.text, n.i, {L}) AS g
+          FROM documents d JOIN nums n ON n.i <= length(d.text) - {L - 1}
+        ),
+        dup AS (
+          SELECT doc_id, (i - 1)::BIGINT AS pos FROM win
+          QUALIFY count(*) OVER (PARTITION BY g) > 1
+        )
+    """
+
+
+def _substring_spans_sql(L: int = 30) -> str:
+    """Gaps-and-islands merge of the dup windows into maximal
+    [start, stop) spans per doc (windows <= L apart overlap/touch)."""
+    return f"""
+        WITH {_substring_dup_cte(L)},
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) <= {L}
+                      THEN 0 ELSE 1 END AS brk
+          FROM dup
+        ),
+        grp AS (
+          SELECT doc_id, pos,
+                 sum(coalesce(brk, 1)) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM isl
+        )
+        SELECT doc_id, min(pos) AS start, max(pos) + {L} AS stop
+        FROM grp GROUP BY doc_id, gid
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from idf.functions.text import _STOPWORDS
 
@@ -585,6 +633,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
         "doc_lang_id": _lang_id_sql(),
         "doc_winnow_fp": _winnow_sql(),
+        "doc_substring_dups": f"WITH {_substring_dup_cte(30)} SELECT doc_id, pos FROM dup",
+        "doc_substring_spans": _substring_spans_sql(30),
         "doc_simhash": f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh",
         # banding recall is EXACT by pigeonhole (expansion_radius
         # construction, idf/config.py:61-71), so brute force matches

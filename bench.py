@@ -80,6 +80,12 @@ def run_bench() -> dict:
     ngram_jaccard_pairs(docs, tau=0.6).count()
     queries["doc_ngram_pairs"] = round(time.time() - t0, 3)
 
+    from idf.functions.text_dedup import substring_dup_spans
+
+    t0 = time.time()
+    substring_dup_spans(docs, min_len=30).count()
+    queries["doc_substring_spans"] = round(time.time() - t0, 3)
+
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     t0 = time.time()
     cosine_topk(emb, list(range(64)), k=10).count()

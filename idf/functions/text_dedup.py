@@ -504,3 +504,76 @@ def simhash_pairs(docs: rd.Dataset, radius: int = 8) -> rd.Dataset:
         )
 
     return edges.map_batches(_orient, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# suffix-array substring dedup (north-rule: "suffix-array substring")
+
+
+def substring_dup_positions(
+    docs: rd.Dataset, min_len: int = 30, n_buckets: int | None = None
+) -> rd.Dataset:
+    """Corpus substring dedup (Lee et al. 2021 semantics): every
+    (doc_id, pos) whose ``min_len``-char window occurs >= 2 times in
+    the corpus (within or across documents). Output columns
+    (doc_id:int64, pos:int64), pos 0-indexed.
+
+    Shape: one vectorized rolling-hash pass per batch (the whole batch
+    is hashed as ONE concatenated numpy array —
+    idf/kernels/suffix.py: batch_window_hashes) -> shuffle
+    (hash, doc_id, pos) bucketed on the window hash -> per-bucket
+    count>=2 filter. The shuffle carries 3 int64s per character of
+    corpus — that is the inherent cost of EXACT substring dedup (the
+    suffix-array approach shuffles comparable volume to sort suffixes);
+    the hash is 64-bit so false collisions are ~n^2/2^65 (pytest
+    cross-checks against the exact suffix-array oracle). Hot boilerplate
+    windows skew only their bucket's OUTPUT size, not the groupby (the
+    shuffle is keyed on 512 hash buckets, not raw window hashes).
+    """
+    from idf.kernels.suffix import batch_window_hashes
+    from idf.ops import bucketed_apply
+
+    def _windows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        di, pos, h = batch_window_hashes(list(df["text"].fillna("")), min_len)
+        return pd.DataFrame({"h": h.view(np.int64), "doc_id": ids[di], "pos": pos})
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        _windows, batch_format="pandas"
+    )
+
+    def _dups(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("h", sort=False)["h"].transform("size") >= 2
+        return g.loc[keep, ["doc_id", "pos"]]
+
+    kwargs = {} if n_buckets is None else {"n_buckets": n_buckets}
+    return bucketed_apply(rows, "h", _dups, **kwargs)
+
+
+def substring_dup_spans(
+    docs: rd.Dataset, min_len: int = 30, n_buckets: int | None = None
+) -> rd.Dataset:
+    """Maximal duplicated character spans per document: the union of
+    the duplicated ``min_len``-windows from substring_dup_positions,
+    merged per doc (gaps-and-islands). Output
+    (doc_id:int64, start:int64, stop:int64), [start, stop) half-open.
+    One extra shuffle keyed on doc_id buckets; span merging is
+    vectorized numpy per doc (idf/kernels/suffix.py:
+    merge_window_spans)."""
+    from idf.kernels.suffix import merge_window_spans
+    from idf.ops import bucketed_group_apply
+
+    pos = substring_dup_positions(docs, min_len, n_buckets=n_buckets)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        spans = merge_window_spans(g["pos"].to_numpy(np.int64), min_len)
+        return pd.DataFrame(
+            {
+                "doc_id": np.full(len(spans), g["doc_id"].iloc[0], dtype=np.int64),
+                "start": np.array([s for s, _ in spans], dtype=np.int64),
+                "stop": np.array([e for _, e in spans], dtype=np.int64),
+            }
+        )
+
+    kwargs = {} if n_buckets is None else {"n_buckets": n_buckets}
+    return bucketed_group_apply(pos, "doc_id", _merge, **kwargs)
