@@ -27,12 +27,19 @@ def _ray():
 
     owned = not ray.is_initialized()
     if owned:
+        # cluster mode (north rule: `ray job submit` entrypoint): under a
+        # job supervisor RAY_ADDRESS points at the cluster — attach to it
+        # and let the cluster own resources. Standalone keeps local init.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kw = {}
+        if addr == "local":
+            kw["num_cpus"] = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
         ray.init(
-            address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            address=addr,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            **kw,
         )
     from ray.data import DataContext
 

@@ -167,9 +167,22 @@ def auto_num_blocks(path: str, ncpu: int, target_block_bytes: int = TARGET_BLOCK
 def read_images(
     path: str, columns: list[str] | None = None, num_blocks: int | None = None
 ) -> rd.Dataset:
-    """Source reader (S1/S2 mapping): column-pruned parquet read of the
-    images table. ``read_lance`` is the target at scale; the lance wheel
-    is absent in-sandbox so the layout is parquet (SURVEY §7 fallback)."""
+    """Source reader (S1/S2 mapping): column-pruned read of the images
+    table. A ``*.lance`` path goes through ``ray.data.read_lance``
+    (the north-rule table format — fragment-parallel, column-pruned at
+    the storage layer); anything else is parquet. The lance wheel is
+    absent in-sandbox, so the lance branch is import-gated with a clear
+    error and the test layout is parquet (SURVEY §7 fallback)."""
+    if path.rstrip("/").endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "reading a .lance table needs the `lance` wheel, which "
+                "this environment does not ship; re-write the table as "
+                "parquet or install pylance"
+            ) from e
+        return rd.read_lance(path, columns=columns)
     kw = {}
     if num_blocks is not None:
         kw["override_num_blocks"] = num_blocks
@@ -243,6 +256,14 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
     table. On a multi-node cluster the same pattern holds with shared
     storage (S3/Lance): every task streams its own fragment.
     """
+    if images_path.rstrip("/").endswith(".lance"):
+        # the fragment planner below is parquet-specific; Lance sources
+        # go through read_lance (fragment-parallel at the storage layer)
+        # into the unfused decode+hash stage
+        return hash_stage(
+            read_images(images_path, columns=["image_id", "bytes", "fmt", "caption"]),
+            cfg,
+        )
     ncpu = available_cpus()
     tasks = plan_read_tasks(images_path, ncpu)
     if not tasks:

@@ -66,3 +66,19 @@ def test_cli_end_to_end(ray_session, tmp_path):
     rc = main(["hash", str(corpus / "images.parquet"), "--out", str(tmp_path / "h2")])
     assert rc == 0
     assert (tmp_path / "h2" / "hashes").is_dir()
+
+
+def test_lance_path_routes_and_gates():
+    """*.lance inputs route to the read_lance branch; without the lance
+    wheel the error is immediate and actionable (import-gated seam)."""
+    import pytest
+
+    from idf.stages.hash_stage import read_images
+
+    try:
+        import lance  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="lance"):
+            read_images("/tmp/does_not_exist.lance")
+    else:  # pragma: no cover - sandbox has no lance wheel
+        pytest.skip("lance installed; gated branch not exercisable")
