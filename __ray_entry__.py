@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lang_id,
         quality_components,
         token_count,
+        token_count_bpe,
         winnow_fingerprints,
     )
     from idf.functions.text_dedup import (
@@ -217,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_orders_by_nation": cust_orders_by_nation,
         "events_by_type": events_by_type,
         "doc_token_count": lambda sf: token_count(_docs(sf)),
+        "doc_token_count_bpe": lambda sf: token_count_bpe(_docs(sf)),
         "doc_quality": lambda sf: quality_components(_docs(sf)),
         "doc_exact_dedup": lambda sf: exact_dedup_docs(_docs(sf)),
         "doc_fingerprint": lambda sf: fingerprint_md5(_docs(sf)),
@@ -633,6 +635,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
         "doc_lang_id": _lang_id_sql(),
         "doc_winnow_fp": _winnow_sql(),
+        "doc_token_count_bpe": r"""
+            SELECT doc_id,
+                   length(regexp_extract_all(coalesce(text, ''),
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
         "doc_substring_dups": f"WITH {_substring_dup_cte(30)} SELECT doc_id, pos FROM dup",
         "doc_substring_spans": _substring_spans_sql(30),
         "doc_simhash": f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh",

@@ -44,6 +44,29 @@ def token_count(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pandas")
 
 
+# BPE-ish pre-tokenizer classes (letter runs | digit runs | single
+# non-alnum-non-space), chosen to mean the same thing under Python re
+# and DuckDB's RE2 so the SQL oracle counts identically
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE_RE = re.compile(BPE_TOKEN_RE)
+
+
+def token_count_bpe(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, n_bpe_tokens): BPE-style pre-tokenization count — the
+    token-budget estimator a training-data pipeline runs corpus-wide
+    (letter runs, digit runs, and each punctuation mark count as one
+    token, approximating a byte-level BPE pre-split).
+    Oracle: ``length(regexp_extract_all(text, BPE_TOKEN_RE))``."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].fillna("").str.count(_BPE_RE)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_bpe_tokens": n.astype(np.int64)}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def quality_score(ds: rd.Dataset) -> rd.Dataset:
     """(doc_id, n_tokens, avg_token_len, stop_ratio, quality) — simple
     length/stopword quality heuristics, all SQL-expressible (rounded to

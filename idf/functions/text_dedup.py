@@ -551,19 +551,49 @@ def substring_dup_positions(
 
 
 def substring_dup_spans(
-    docs: rd.Dataset, min_len: int = 30, n_buckets: int | None = None
+    docs: rd.Dataset,
+    min_len: int = 30,
+    n_buckets: int | None = None,
+    driver_merge_max_positions: int = 5_000_000,
 ) -> rd.Dataset:
     """Maximal duplicated character spans per document: the union of
     the duplicated ``min_len``-windows from substring_dup_positions,
     merged per doc (gaps-and-islands). Output
     (doc_id:int64, start:int64, stop:int64), [start, stop) half-open.
-    One extra shuffle keyed on doc_id buckets; span merging is
-    vectorized numpy per doc (idf/kernels/suffix.py:
-    merge_window_spans)."""
+
+    The dup-position set is tiny next to the corpus in the common case,
+    so below ``driver_merge_max_positions`` the merge runs as one
+    vectorized driver pass (a doc_id-keyed shuffle for a few-MB result
+    costs ~3s of fixed groupby overhead at 32 CPUs); past the guard —
+    boilerplate-heavy corpora at scale — it switches to the bucketed
+    doc_id shuffle, same auto-guard pattern as cc_mode/apply."""
     from idf.kernels.suffix import merge_window_spans
     from idf.ops import bucketed_group_apply
 
-    pos = substring_dup_positions(docs, min_len, n_buckets=n_buckets)
+    pos = substring_dup_positions(docs, min_len, n_buckets=n_buckets).materialize()
+
+    if pos.count() <= driver_merge_max_positions:
+        parts = list(pos.iter_batches(batch_size=1 << 20, batch_format="pandas"))
+        df = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame({"doc_id": [], "pos": []}, dtype=np.int64)
+        )
+        ids_out, starts, stops = [], [], []
+        for doc_id, g in df.groupby("doc_id", sort=True):
+            for s, e in merge_window_spans(g["pos"].to_numpy(np.int64), min_len):
+                ids_out.append(doc_id)
+                starts.append(s)
+                stops.append(e)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids_out, pa.int64()),
+                    "start": pa.array(starts, pa.int64()),
+                    "stop": pa.array(stops, pa.int64()),
+                }
+            )
+        )
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         spans = merge_window_spans(g["pos"].to_numpy(np.int64), min_len)

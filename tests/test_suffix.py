@@ -11,6 +11,7 @@ import random
 from collections import Counter
 
 import numpy as np
+import pandas as pd
 import pytest
 
 import ray.data as rd
@@ -136,3 +137,22 @@ def test_substring_dup_spans_vs_sa_oracle(ray_session, docs_table):
         for s, e in merge_window_spans(np.array(ps), 30)
     )
     assert list(zip(got["doc_id"], got["start"], got["stop"])) == exp
+
+
+def test_substring_spans_bucketed_large_path(ray_session, docs_table):
+    """driver_merge_max_positions=0 forces the distributed doc_id-shuffle
+    merge; results must be identical to the driver fast path."""
+    t = docs_table
+    fast = (
+        substring_dup_spans(rd.from_arrow(t), min_len=30)
+        .to_pandas()
+        .sort_values(["doc_id", "start"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        substring_dup_spans(rd.from_arrow(t), min_len=30, driver_merge_max_positions=0)
+        .to_pandas()
+        .sort_values(["doc_id", "start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist)

@@ -193,3 +193,19 @@ def test_ivf_topk_recall(emb):
         hits += len(w & g)
         tot += len(w)
     assert hits / tot >= 0.5  # nprobe=4 of 8 cells: recall well above half
+
+
+def test_token_count_bpe(ray_session):
+    from idf.functions.text import token_count_bpe
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["Hello, world! 42x", "", None, "a.b.c"],
+            }
+        )
+    )
+    out = token_count_bpe(ds).to_pandas().sort_values("doc_id")
+    # Hello , world ! 42 x -> 6; a . b . c -> 5
+    assert list(out["n_bpe_tokens"]) == [6, 0, 0, 5]
