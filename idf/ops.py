@@ -92,7 +92,10 @@ def bucketed_apply(
         b = (pd.util.hash_pandas_object(kdf, index=False).to_numpy() % n_buckets).astype(
             np.int64
         )
-        return t.append_column("__bucket", pa.array(b))
+        # drop pandas metadata: schemas carrying it are UNHASHABLE, which
+        # defeats Ray's schema-dedup fast path in every shuffle reduce
+        # (and spams "Failed to hash the schemas" warnings)
+        return t.replace_schema_metadata(None).append_column("__bucket", pa.array(b))
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
