@@ -69,30 +69,69 @@ class MinHasher:
         return vals.min(axis=1)
 
     def signatures(self, texts: list[str], k: int = 3) -> np.ndarray:
-        """Batch of captions -> (n, num_perm) uint64."""
-        out = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            out[i] = self.signature(shingle_hashes(t, k))
+        """Batch of captions -> (n, num_perm) uint64.
+
+        Vectorized across the batch: shingle-hash arrays are
+        concatenated once, then each permutation is one affine pass +
+        segmented min (``np.minimum.reduceat`` over doc boundaries) —
+        the r1 per-doc loop built a (num_perm, m) matrix per DOCUMENT,
+        ~237k tiny numpy calls per sf0.1 batch sweep. short="self"
+        guarantees every doc has >= 1 shingle, so no reduceat segment
+        is empty."""
+        n = len(texts)
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        arrs = [shingle_hashes(t, k) for t in texts]
+        counts = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        h = np.concatenate(arrs)
+        bounds = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for p in range(self.num_perm):
+                vals = self.a[p] * h + self.b[p]
+                out[:, p] = np.minimum.reduceat(vals, bounds)
         return out
+
+
+def _mix64_(x: np.ndarray, tmp: np.ndarray) -> None:
+    """splitmix64 finalizer IN PLACE (uint64 wraparound); ``tmp`` is a
+    same-shaped scratch buffer — fresh numpy temporaries page-fault
+    stall on this platform (see stages/cc.py r2 note), so the mix
+    chain reuses two buffers total."""
+    np.right_shift(x, np.uint64(30), out=tmp)
+    x ^= tmp
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    np.right_shift(x, np.uint64(27), out=tmp)
+    x ^= tmp
+    x *= np.uint64(0x94D049BB133111EB)
+    np.right_shift(x, np.uint64(31), out=tmp)
+    x ^= tmp
 
 
 def band_keys(sigs: np.ndarray, n_bands: int) -> np.ndarray:
     """(n, k) signatures -> (n, n_bands) int64 band keys.
 
-    Key = band index mixed into a blake2b hash of the band's rows, so
-    equal keys <=> same band index AND equal band signature (up to the
-    64-bit collision floor — collisions only enlarge a verify bucket).
-    """
+    Key = band index chained with the band's signature rows through a
+    splitmix64 mix, so equal keys <=> same band index AND equal band
+    signature (up to the 64-bit collision floor — collisions only
+    enlarge a verify bucket, never lose a pair). Fully vectorized over
+    (n, n_bands): the r1 version ran one blake2b per (row, band) —
+    7.6M interpreter-bound digest calls per sf0.1 caption sweep."""
     n, k = sigs.shape
     rows = k // n_bands
-    out = np.empty((n, n_bands), dtype=np.int64)
-    for i in range(n):
-        for b in range(n_bands):
-            chunk = sigs[i, b * rows : (b + 1) * rows].tobytes() + bytes([b])
-            out[i, b] = int.from_bytes(
-                blake2b(chunk, digest_size=8).digest(), "little", signed=True
-            )
-    return out
+    bands = sigs[:, : n_bands * rows].reshape(n, n_bands, rows)
+    with np.errstate(over="ignore"):
+        seed = np.arange(1, n_bands + 1, dtype=np.uint64)
+        _mix64_(seed, np.empty_like(seed))
+        h = np.tile(seed, (n, 1))
+        tmp = np.empty_like(h)
+        buf = np.empty_like(h)
+        for r in range(rows):
+            np.copyto(buf, bands[:, :, r])
+            _mix64_(buf, tmp)
+            h ^= buf
+            _mix64_(h, tmp)
+    return h.view(np.int64)
 
 
 def jaccard(a: set, b: set) -> float:
