@@ -108,6 +108,10 @@ def run_dedup(
     # and the serial CC input — small. Banding and caption-LSH are
     # INDEPENDENT (both read committed upstream stages), so they run
     # concurrently: their barriers overlap and cores stay busy.
+    # (Measured r2, sf0.1/32cpu: fusing both keyed-row sources into ONE
+    # union + single sort ran 20.9s vs 9.3s for the two concurrent
+    # sorts — Ray's sort all-to-all does not parallelize internally as
+    # well as two overlapping jobs. Keep them separate.)
     from idf.stages.candidates import dedup_edges
 
     edge_stages = [
