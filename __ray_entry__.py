@@ -65,12 +65,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import ray.data as rd
 
     from idf.functions.ann import cosine_pairs, cosine_topk, ivf_pairs, ivf_topk
+    from idf.functions.relational import leakfree_split
     from idf.functions.text import (
         fingerprint_md5,
+        hash_split,
         lang_id,
         quality_components,
         token_count,
         token_count_bpe,
+        top_bigrams,
         winnow_fingerprints,
     )
     from idf.functions.text_dedup import (
@@ -150,6 +153,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(os.path.join(sf, "events.parquet"), columns=["event_type"])
         return count_by(ev, "event_type", alias="n")
 
+    # -- temporal / relational training-data ops (r2): tumbling windows,
+    #    sessionization, as-of enrichment, range join, Q1-style combiner
+    def events_window_agg(sf):
+        from idf.functions.relational import window_agg
+
+        ev = rd.read_parquet(
+            os.path.join(sf, "events.parquet"), columns=["event_type", "ts", "value"]
+        )
+        return window_agg(ev, every="1h")
+
+    def events_sessions(sf):
+        from idf.functions.relational import sessionize
+
+        ev = rd.read_parquet(
+            os.path.join(sf, "events.parquet"), columns=["user_id", "ts", "event_id"]
+        )
+        return sessionize(ev, gap="30min")
+
+    def events_asof_orders(sf):
+        from idf.functions.relational import events_asof_orders as _asof
+
+        ev = rd.read_parquet(
+            os.path.join(sf, "events.parquet"), columns=["event_id", "user_id", "ts"]
+        )
+        od = rd.read_parquet(
+            os.path.join(sf, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        return _asof(ev, od)
+
+    def orders_price_band(sf):
+        from idf.ops import range_lookup
+
+        od = rd.read_parquet(
+            os.path.join(sf, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+        )
+        banded = range_lookup(
+            od,
+            "o_totalprice",
+            edges=[0.0, 50_000.0, 150_000.0, 300_000.0, 1e18],
+            labels=["small", "medium", "large", "huge"],
+        )
+        return banded.select_columns(["o_orderkey", "band"])
+
+    def lineitem_pricing_summary(sf):
+        from idf.functions.relational import pricing_summary
+
+        li = rd.read_parquet(os.path.join(sf, "lineitem.parquet"))
+        return pricing_summary(li)
+
     # -- web-surface ops (S9/S10, app/WebServer.java) over engine output.
     #    Both derive their small side DETERMINISTICALLY from md5 of the
     #    image_id so the DuckDB oracle replicates it without a side file.
@@ -217,6 +270,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_min_group_size": orders_min_group_size,
         "cust_orders_by_nation": cust_orders_by_nation,
         "events_by_type": events_by_type,
+        "events_window_agg": events_window_agg,
+        "events_sessions": events_sessions,
+        "events_asof_orders": events_asof_orders,
+        "orders_price_band": orders_price_band,
+        "lineitem_pricing_summary": lineitem_pricing_summary,
+        "doc_hash_split": lambda sf: hash_split(_docs(sf)),
+        "doc_leakfree_split": lambda sf: leakfree_split(_docs(sf)),
+        "doc_top_bigrams": lambda sf: top_bigrams(_docs(sf), k=20),
         "doc_token_count": lambda sf: token_count(_docs(sf)),
         "doc_token_count_bpe": lambda sf: token_count_bpe(_docs(sf)),
         "doc_quality": lambda sf: quality_components(_docs(sf)),
@@ -613,6 +674,85 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey
         """,
         "events_by_type": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        # exact integer-cents sums (see idf/functions/relational.py:
+        # plain sum(double) is summation-order-dependent and flakes the
+        # %.17g value hash; inputs verified free of .5 rounding ties)
+        "events_window_agg": """
+            SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY 1, 2
+        """,
+        "events_asof_orders": """
+            SELECT event_id, asof_orderkey FROM (
+              SELECT e.event_id, o.o_orderkey AS asof_orderkey,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
+        """,
+        "orders_price_band": """
+            WITH bands(lo, hi, band) AS (VALUES
+              (0.0, 50000.0, 'small'), (50000.0, 150000.0, 'medium'),
+              (150000.0, 300000.0, 'large'), (300000.0, 1e18, 'huge'))
+            SELECT o_orderkey, band FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              sum(l_quantity) AS sum_qty,
+              CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+              CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000 AS sum_disc_price,
+              CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS sum_charge,
+              sum(l_quantity)/count(*) AS avg_qty,
+              CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_price,
+              CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "doc_hash_split": """
+            SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '1a'
+                   THEN 'test' ELSE 'train' END AS split FROM documents
+        """,
+        "doc_leakfree_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(min(doc_id) OVER (PARTITION BY text)
+                             AS VARCHAR)),1,2) < '33'
+                   THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "doc_top_bigrams": r"""
+            WITH toks AS (
+              SELECT doc_id, w, i FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+                       generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS i
+                FROM documents WHERE trim(text) <> '')
+            ),
+            bi AS (SELECT a.w || ' ' || b.w AS gram
+                   FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1)
+            SELECT gram, count(*) AS n FROM bi GROUP BY gram
+            ORDER BY n DESC, gram LIMIT 20
+        """,
         "doc_token_count": """
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0

@@ -1,0 +1,265 @@
+"""Temporal + relational operators for a training-data pipeline:
+tumbling-window aggregation, gap sessionization, as-of enrichment and
+a TPC-H-Q1-style combiner aggregate.
+
+All follow the engine's combiner discipline: vectorized per-batch
+partials first, so only (key, partial) rows — never raw events — cross
+the one shuffle. Float aggregates are computed in EXACT integer cents
+(inputs verified free of .5 ties at every sf) and divided back to
+doubles at the end, so the engine and the DuckDB oracle produce
+bit-identical values regardless of summation order — a plain
+``sum(double)`` is order-dependent and would flake the driver's
+%.17g value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from idf.ops import asof_join, bucketed_aggregate, bucketed_apply, bucketed_group_apply
+
+
+def window_agg(
+    ds: rd.Dataset,
+    time_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    every: str = "1h",
+) -> rd.Dataset:
+    """Tumbling-window aggregate: (keys..., window_start, n, sum_value).
+
+    Per-batch partial aggregation (the 100-TB shape: only one row per
+    (key, window) per batch crosses the shuffle), then a bucketed
+    combine. Oracle: ``time_bucket(INTERVAL ..., ts)`` + sum of exact
+    integer cents.
+    """
+    key_list = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df[value_col].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                **{k: df[k] for k in key_list},
+                "window_start": df[time_col].dt.floor(every),
+                "__cents": cents,
+            }
+        )
+        gb = g.groupby(key_list + ["window_start"], sort=False)
+        return gb.agg(n=("__cents", "size"), __cents=("__cents", "sum")).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = bucketed_aggregate(
+        partials,
+        key_list + ["window_start"],
+        {"n": ("n", "sum"), "__cents": ("__cents", "sum")},
+        n_buckets=64,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_value"] = df["__cents"].to_numpy().astype(np.float64) / 100
+        df["n"] = df["n"].astype(np.int64)
+        return df.drop(columns="__cents")
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def sessionize(
+    ds: rd.Dataset,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    order_col: str = "event_id",
+    gap: str = "30min",
+) -> rd.Dataset:
+    """Gap-based sessionization: one row per (user, session) with
+    n_events and the session's time bounds. A new session starts when
+    the gap to the user's previous event exceeds ``gap`` (strictly).
+
+    Sessions are a per-user sequential scan, which Ray Data cannot
+    express natively; the composition is ONE shuffle keyed on a hash
+    bucket of the user, then a fully vectorized per-bucket kernel
+    (sort + diff + cumsum — no per-user Python loop). Partitioning
+    assumption: all events of a user fit one bucket's task (true until
+    a single user exceeds ~block size; salt by day for adversarial
+    users).
+    """
+    gap_ns = int(pd.Timedelta(gap).value)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, time_col, order_col], kind="mergesort")
+        ts = df[time_col].to_numpy(dtype="datetime64[ns]")
+        uid = df[user_col].to_numpy()
+        n = len(df)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            same_user = uid[1:] == uid[:-1]
+            small_gap = (ts[1:] - ts[:-1]).astype(np.int64) <= gap_ns
+            brk[1:] = ~(same_user & small_gap)
+        sid_global = np.cumsum(brk)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]] if n else [])
+        runs = np.diff(np.append(starts, n))
+        base = np.repeat(sid_global[starts], runs)
+        df = df.assign(session_id=(sid_global - base + 1).astype(np.int64))
+        out = (
+            df.groupby([user_col, "session_id"], sort=False)
+            .agg(
+                n_events=(time_col, "size"),
+                session_start=(time_col, "min"),
+                session_end=(time_col, "max"),
+            )
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    pruned = ds.select_columns([user_col, time_col, order_col])
+    return bucketed_apply(pruned, user_col, per_bucket, n_buckets=256)
+
+
+def events_asof_orders(events: rd.Dataset, orders: rd.Dataset) -> rd.Dataset:
+    """Enrich each event with the customer's most recent order at event
+    time (inner as-of; ties on o_orderdate -> max o_orderkey)."""
+    out = asof_join(
+        events.select_columns(["event_id", "user_id", "ts"]),
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"]),
+        left_by="user_id",
+        right_by="o_custkey",
+        left_on="ts",
+        right_on="o_orderdate",
+        tiebreak=["o_orderkey"],
+        how="inner",
+    )
+    # rename via an Arrow map_batches: Ray's Project/rename_columns
+    # operator rejects the pandas blocks map_groups emits
+    import pyarrow as pa
+
+    def _sel(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "o_orderkey"]).rename_columns(
+            ["event_id", "asof_orderkey"]
+        )
+
+    return out.map_batches(_sel, batch_format="pyarrow")
+
+
+# Q1-style measures, all derived from exact int64 partials:
+#   cents      = round(price*100)            -> sum_base_price
+#   dmills     = round(price*(1-disc)*1e4)   -> sum_disc_price
+#   cmicros    = round(price*(1-disc)*(1+tax)*1e6) -> sum_charge
+#   qty (integral doubles), disc cents, row count
+def pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> pd.DataFrame:
+    """TPC-H-Q1-shaped pricing summary over lineitem.
+
+    Per-batch vectorized partials (<= a few groups each) + a driver
+    combine of the tiny partial table — the canonical distributed
+    combiner; the shuffle an all-to-all groupby would pay is pure
+    overhead when the group count is single digits.
+    """
+    cut = pd.Timestamp(cutoff)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cut]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "l_returnflag": pd.Series([], dtype=object),
+                    "l_linestatus": pd.Series([], dtype=object),
+                    "qty": pd.Series([], dtype=np.int64),
+                    "cents": pd.Series([], dtype=np.int64),
+                    "dmills": pd.Series([], dtype=np.int64),
+                    "cmicros": pd.Series([], dtype=np.int64),
+                    "dcents": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        tax = df["l_tax"].to_numpy()
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"].to_numpy(),
+                "l_linestatus": df["l_linestatus"].to_numpy(),
+                "qty": df["l_quantity"].to_numpy().astype(np.int64),
+                "cents": np.round(price * 100).astype(np.int64),
+                "dmills": np.round(price * (1 - disc) * 10_000).astype(np.int64),
+                "cmicros": np.round(price * (1 - disc) * (1 + tax) * 1_000_000).astype(
+                    np.int64
+                ),
+                "dcents": np.round(disc * 100).astype(np.int64),
+            }
+        )
+        gb = g.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        out = gb.agg(
+            qty=("qty", "sum"),
+            cents=("cents", "sum"),
+            dmills=("dmills", "sum"),
+            cmicros=("cmicros", "sum"),
+            dcents=("dcents", "sum"),
+            n=("qty", "size"),
+        ).reset_index()
+        return out
+
+    cols = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    ]
+    parts = lineitem.select_columns(cols).map_batches(partial, batch_format="pandas")
+    # tiny: (#groups x #blocks) rows
+    p = parts.to_pandas()
+    c = p.groupby(["l_returnflag", "l_linestatus"], sort=True).sum().reset_index()
+    n = c["n"].to_numpy().astype(np.float64)
+    # division sequences mirror the SQL oracle exactly:
+    # CAST(sum AS DOUBLE)/scale[/count] with left-assoc rounding
+    out = pd.DataFrame(
+        {
+            "l_returnflag": c["l_returnflag"],
+            "l_linestatus": c["l_linestatus"],
+            "sum_qty": c["qty"].to_numpy().astype(np.float64),
+            "sum_base_price": c["cents"].to_numpy().astype(np.float64) / 100,
+            "sum_disc_price": c["dmills"].to_numpy().astype(np.float64) / 10_000,
+            "sum_charge": c["cmicros"].to_numpy().astype(np.float64) / 1_000_000,
+            "avg_qty": c["qty"].to_numpy().astype(np.float64) / n,
+            "avg_price": c["cents"].to_numpy().astype(np.float64) / 100 / n,
+            "avg_disc": c["dcents"].to_numpy().astype(np.float64) / 100 / n,
+            "count_order": c["n"].astype(np.int64),
+        }
+    )
+    return out
+
+
+def leakfree_split(ds: rd.Dataset, test_hex: str = "33") -> rd.Dataset:
+    """Duplicate-group-aware train/test split: every exact-duplicate
+    group of documents lands WHOLLY in one split, so train never leaks
+    a test document's text. Canonical member = min doc_id per text
+    group; split decided by md5(canonical). The shuffle ships a 16-byte
+    fingerprint of the text, never the text itself (the 100-TB-safe
+    key).
+    """
+    import hashlib
+
+    def add_fp(df: pd.DataFrame) -> pd.DataFrame:
+        fp = df["text"].fillna("").map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        return pd.DataFrame({"doc_id": df["doc_id"], "__fp": fp})
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64), "split": []})
+        canon = int(g["doc_id"].min())
+        s = (
+            "test"
+            if hashlib.md5(str(canon).encode()).hexdigest()[:2] < test_hex
+            else "train"
+        )
+        return pd.DataFrame({"doc_id": g["doc_id"], "split": s})
+
+    fps = ds.map_batches(add_fp, batch_format="pandas")
+    out = bucketed_group_apply(fps, "__fp", per_group, n_buckets=256)
+    return out.map_batches(
+        lambda df: df[["doc_id", "split"]], batch_format="pandas"
+    )

@@ -227,3 +227,64 @@ def winnow_fingerprints(ds: rd.Dataset, k: int = 5, window: int = 4) -> rd.Datas
         return pd.DataFrame({"doc_id": ids, "fp": np.array(fps, dtype=np.int64)})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def hash_split(ds: rd.Dataset, test_hex: str = "1a") -> rd.Dataset:
+    """(doc_id, split): deterministic train/test split by md5 of the
+    document id — stable across runs, machines and cluster sizes (no
+    RNG state to coordinate), the standard way to carve held-out sets
+    from a streaming corpus. ``test_hex``: docs whose first md5 hex
+    byte sorts below it go to test ('1a'/256 ~ 10.2%).
+    Oracle: ``substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '1a'``."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(
+            lambda i: hashlib.md5(str(i).encode()).hexdigest()[:2]
+        ).to_numpy(dtype=object)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "split": np.where(h < test_hex, "test", "train")}
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def top_bigrams(ds: rd.Dataset, k: int = 20, n_buckets: int = 64) -> rd.Dataset:
+    """(gram, n): the k globally most frequent token bigrams, ties
+    broken alphabetically — corpus vocabulary statistics for filtering
+    boilerplate.
+
+    Three-level aggregation, none of which materializes the corpus:
+    per-batch Counter partials (only distinct grams leave the batch),
+    a bucketed exact sum per gram, then a per-bucket LOCAL top-k so the
+    driver merges <= n_buckets*k candidate rows — no global sort at any
+    scale. Tokenization matches doc_token_count's oracle
+    (lower + trim + whitespace split)."""
+    from collections import Counter
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for s in df["text"].fillna(""):
+            s = s.strip(" ").lower()
+            if not s:
+                continue
+            toks = _WS.split(s)
+            c.update(a + " " + b for a, b in zip(toks, toks[1:]))
+        if not c:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"gram": list(c.keys()), "n": np.fromiter(c.values(), dtype=np.int64)}
+        )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("gram", sort=False)["n"].sum().reset_index()
+        return agg.sort_values(["n", "gram"], ascending=[False, True], kind="mergesort").head(k)
+
+    from idf.ops import bucketed_apply
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    local = bucketed_apply(partials, "gram", bucket_topk, n_buckets=n_buckets)
+    cand = local.to_pandas()  # <= n_buckets * k rows by construction
+    out = cand.sort_values(["n", "gram"], ascending=[False, True], kind="mergesort").head(k)
+    return out.reset_index(drop=True)

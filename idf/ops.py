@@ -223,6 +223,123 @@ def hash_join(
     )
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_by: str,
+    right_by: str,
+    left_on: str,
+    right_on: str,
+    tiebreak: list[str] | None = None,
+    how: str = "inner",
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> rd.Dataset:
+    """Distributed backward as-of join.
+
+    For each left row, attach the single right row sharing the by-key
+    whose ``right_on`` is the LARGEST value <= ``left_on``; ties on
+    ``right_on`` break toward the largest ``tiebreak`` columns
+    (lexicographic), so the result is deterministic. Ray Data has no
+    native as-of join; this is the shuffle composition the task brief
+    calls for: both sides tagged + co-grouped on a hash bucket of the
+    by-key (ONE all-to-all), then a vectorized ``pandas.merge_asof``
+    per bucket. Skew bound = rows per by-key bucket, same as
+    ``hash_join``; neither side is ever materialized on the driver.
+
+    ``how="inner"`` drops left rows with no match (the only mode with
+    an exact SQL analog: join + QUALIFY row_number()=1).
+    """
+    tiebreak = list(tiebreak or [])
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    if set(lcols) & set(rcols):
+        raise ValueError("asof_join requires disjoint column names")
+    ltypes = dict(zip(lcols, map(_as_arrow_type, lschema.types)))
+    rtypes = dict(zip(rcols, map(_as_arrow_type, rschema.types)))
+    all_cols = lcols + rcols
+    all_types = {**ltypes, **rtypes}
+
+    def _prep(side: int, by_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            b = _bucket_of(t[by_col].to_pandas(), n_buckets)
+            cols = {
+                c: (t[c] if c in t.column_names else pa.nulls(len(t), all_types[c]))
+                for c in all_cols
+            }
+            cols["__side"] = pa.array(np.full(len(t), side, dtype=np.int8))
+            cols["__bucket"] = pa.array(b)
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(_prep(0, left_by), batch_format="pyarrow").union(
+        right.map_batches(_prep(1, right_by), batch_format="pyarrow")
+    )
+
+    def _merge(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        lg = t.filter(pc.equal(t["__side"], 0)).select(lcols).to_pandas()
+        rg = t.filter(pc.equal(t["__side"], 1)).select(rcols).to_pandas()
+        empty = pd.merge_asof(
+            lg.iloc[0:0],
+            rg.iloc[0:0],
+            left_on=left_on,
+            right_on=right_on,
+            left_by=left_by,
+            right_by=right_by,
+        )
+        if lg.empty or rg.empty:
+            return empty if how == "left" and not lg.empty else empty.iloc[0:0]
+        lg = lg.sort_values(left_on, kind="mergesort")
+        # sorted by right_on primary; merge_asof picks the LAST among
+        # equal right_on values -> ascending tiebreak = max wins
+        rg = rg.sort_values([right_on] + tiebreak, kind="mergesort")
+        out = pd.merge_asof(
+            lg,
+            rg,
+            left_on=left_on,
+            right_on=right_on,
+            left_by=left_by,
+            right_by=right_by,
+            direction="backward",
+        )
+        if how == "inner":
+            out = out[out[right_on].notna()]
+        return out
+
+    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pyarrow")
+
+
+def range_lookup(
+    ds: rd.Dataset, col: str, edges, labels, out_col: str = "band"
+) -> rd.Dataset:
+    """Broadcast range join: assign each row the band whose
+    ``[edges[i], edges[i+1])`` interval contains ``col``.
+
+    The small side (sorted interval edges + labels) ships once via
+    ``ray.put``; each batch does one vectorized ``np.searchsorted`` —
+    the right 100-TB shape for a range join whose build side fits in
+    memory (the general big-big interval join is sort + as-of merge).
+    Rows outside every interval are dropped (inner semantics).
+    """
+    edges_arr = np.asarray(edges, dtype=np.float64)
+    labels_arr = np.asarray(list(labels), dtype=object)
+    if len(edges_arr) != len(labels_arr) + 1:
+        raise ValueError("need len(edges) == len(labels) + 1")
+    ref = ray.put((edges_arr, labels_arr))
+
+    def _f(t: pa.Table) -> pa.Table:
+        e, lab = get_broadcast(ref)
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(e, x, side="right") - 1
+        ok = (idx >= 0) & (idx < len(lab)) & (x >= e[0])
+        t = t.replace_schema_metadata(None).filter(pa.array(ok))
+        return t.append_column(out_col, pa.array(lab[idx[ok]], type=pa.string()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 _BROADCAST_CACHE: dict = {}
 
 

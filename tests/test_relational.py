@@ -1,0 +1,258 @@
+"""Tests for the temporal/relational training-data operators
+(idf/functions/relational.py, idf/ops.py asof_join + range_lookup).
+
+Each op is checked against an independent pandas/python oracle on
+synthetic frames that hit the edge cases the sf tables may not:
+as-of ties, gap-exactly-at-threshold events, band boundaries,
+duplicate texts straddling blocks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from idf.functions.relational import (
+    events_asof_orders,
+    leakfree_split,
+    pricing_summary,
+    sessionize,
+    window_agg,
+)
+from idf.functions.text import hash_split, top_bigrams
+from idf.ops import asof_join, range_lookup
+
+
+@pytest.fixture(scope="module")
+def event_frame(ray_session, rng):
+    n = 3000
+    base = pd.Timestamp("2024-01-01")
+    ts = base + pd.to_timedelta(rng.integers(0, 86_400 * 14, n), unit="s")
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": np.round(rng.uniform(0, 200, n), 2),
+        }
+    )
+
+
+def test_asof_join_matches_per_row_oracle(ray_session, rng, event_frame):
+    ev = event_frame
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(500, dtype=np.int64),
+            "o_custkey": rng.integers(0, 40, 500).astype(np.int64),
+            "o_orderdate": (
+                pd.Timestamp("2023-12-28")
+                + pd.to_timedelta(rng.integers(0, 86_400 * 16, 500), unit="s")
+            ).astype("datetime64[us]"),
+        }
+    )
+    # force date TIES within a customer to exercise the tiebreak
+    orders.loc[1, ["o_custkey", "o_orderdate"]] = orders.loc[0, ["o_custkey", "o_orderdate"]]
+
+    got = (
+        events_asof_orders(
+            rd.from_pandas(ev[["event_id", "user_id", "ts"]]),
+            rd.from_pandas(orders),
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    # row-at-a-time oracle: latest order <= ts, ties -> max orderkey
+    want_rows = []
+    for _, e in ev.iterrows():
+        cand = orders[(orders["o_custkey"] == e["user_id"]) & (orders["o_orderdate"] <= e["ts"])]
+        if cand.empty:
+            continue
+        best = cand.sort_values(["o_orderdate", "o_orderkey"]).iloc[-1]
+        want_rows.append((e["event_id"], best["o_orderkey"]))
+    want = pd.DataFrame(want_rows, columns=["event_id", "asof_orderkey"]).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"asof_orderkey": np.int64}), want.astype({"event_id": np.int64, "asof_orderkey": np.int64}))
+
+
+def test_asof_join_disjoint_name_guard(ray_session):
+    df = pd.DataFrame({"k": [1], "t": [1]})
+    with pytest.raises(ValueError):
+        asof_join(
+            rd.from_pandas(df), rd.from_pandas(df),
+            left_by="k", right_by="k", left_on="t", right_on="t",
+        )
+
+
+def test_range_lookup_boundaries(ray_session):
+    df = pd.DataFrame({"id": np.arange(7), "x": [-1.0, 0.0, 9.99, 10.0, 19.99, 20.0, 25.0]})
+    out = (
+        range_lookup(rd.from_pandas(df), "x", edges=[0.0, 10.0, 20.0], labels=["lo", "hi"])
+        .to_pandas()
+        .sort_values("id")
+    )
+    # -1 (below) and 20/25 (>= last edge) are dropped; lo edge inclusive
+    assert out["id"].tolist() == [1, 2, 3, 4]
+    assert out["band"].tolist() == ["lo", "lo", "hi", "hi"]
+
+
+def test_sessionize_gap_strictness_and_numbering(ray_session):
+    base = pd.Timestamp("2024-01-01")
+    gap = pd.Timedelta("30min")
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "ts": [
+                base,
+                base + gap,               # exactly the gap -> SAME session (strict >)
+                base + gap + gap,         # still chained
+                base + 3 * gap + pd.Timedelta("1us"),  # 1us beyond -> new session
+                base,
+                base + pd.Timedelta("2h"),
+            ],
+            "event_id": np.arange(6, dtype=np.int64),
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    got = (
+        sessionize(rd.from_pandas(ev), gap="30min")
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert got[["user_id", "session_id", "n_events"]].values.tolist() == [
+        [1, 1, 3],
+        [1, 2, 1],
+        [2, 1, 1],
+        [2, 2, 1],
+    ]
+    # per-user numbering restarts at 1 even when users share a bucket
+    assert got.groupby("user_id")["session_id"].min().eq(1).all()
+
+
+def test_sessionize_matches_sql_shape(ray_session, event_frame):
+    got = sessionize(rd.from_pandas(event_frame), gap="30min").to_pandas()
+    # oracle: per-user scan
+    want_n = 0
+    for _, g in event_frame.groupby("user_id"):
+        ts = g.sort_values(["ts", "event_id"])["ts"].to_numpy()
+        brk = np.ones(len(ts), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > np.timedelta64(30, "m")
+        want_n += int(brk.sum())
+    assert len(got) == want_n
+    assert int(got["n_events"].sum()) == len(event_frame)
+
+
+def test_window_agg_matches_pandas(ray_session, event_frame):
+    got = (
+        window_agg(rd.from_pandas(event_frame), every="1h")
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    cents = np.round(event_frame["value"].to_numpy() * 100).astype(np.int64)
+    want = (
+        event_frame.assign(window_start=event_frame["ts"].dt.floor("1h"), __c=cents)
+        .groupby(["event_type", "window_start"], sort=True)
+        .agg(n=("__c", "size"), __c=("__c", "sum"))
+        .reset_index()
+    )
+    want["sum_value"] = want["__c"].astype(np.float64) / 100
+    want = want.drop(columns="__c")
+    pd.testing.assert_frame_equal(
+        got[["event_type", "window_start", "n", "sum_value"]],
+        want[["event_type", "window_start", "n", "sum_value"]],
+        check_dtype=False,
+    )
+
+
+def test_pricing_summary_matches_pandas(ray_session, rng):
+    n = 5000
+    li = pd.DataFrame(
+        {
+            "l_returnflag": rng.choice(["A", "N", "R"], n),
+            "l_linestatus": rng.choice(["F", "O"], n),
+            "l_quantity": rng.integers(1, 51, n).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900, 105_000, n), 2),
+            "l_discount": np.round(rng.uniform(0, 0.1, n), 2),
+            "l_tax": np.round(rng.uniform(0, 0.08, n), 2),
+            "l_shipdate": (
+                pd.Timestamp("1995-01-01")
+                + pd.to_timedelta(rng.integers(0, 2500, n), unit="D")
+            ).astype("datetime64[us]"),
+        }
+    )
+    got = pricing_summary(rd.from_pandas(li)).reset_index(drop=True)
+    m = li[li["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+    grp = m.groupby(["l_returnflag", "l_linestatus"], sort=True)
+    assert got["count_order"].tolist() == grp.size().tolist()
+    assert got["sum_qty"].tolist() == grp["l_quantity"].sum().tolist()
+    # exact integer-cents reconstruction
+    want_base = grp["l_extendedprice"].apply(
+        lambda s: np.round(s.to_numpy() * 100).astype(np.int64).sum()
+    ).to_numpy() / 100
+    assert np.array_equal(got["sum_base_price"].to_numpy(), want_base)
+
+
+def test_hash_split_deterministic_and_disjoint(ray_session):
+    docs = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64), "text": "x"})
+    got = hash_split(rd.from_pandas(docs)).to_pandas()
+    frac = (got["split"] == "test").mean()
+    assert 0.05 < frac < 0.18  # '1a'/256 ~ 10.2%
+    # deterministic: re-run identical
+    got2 = hash_split(rd.from_pandas(docs)).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        got2.sort_values("doc_id").reset_index(drop=True),
+    )
+    # matches the md5 rule
+    h = docs["doc_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest()[:2])
+    want = np.where(h < "1a", "test", "train")
+    assert (got.sort_values("doc_id")["split"].to_numpy() == want).all()
+
+
+def test_leakfree_split_keeps_dup_groups_together(ray_session, rng):
+    # 100 distinct texts, each duplicated 1-20 times and shuffled
+    texts = [f"document body {i} " * (i % 3 + 1) for i in range(100)]
+    rows = []
+    did = 0
+    for i, t in enumerate(texts):
+        for _ in range(int(rng.integers(1, 20))):
+            rows.append((did, t))
+            did += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "text"]).sample(frac=1, random_state=0)
+    got = leakfree_split(rd.from_pandas(df)).to_pandas()
+    merged = got.merge(df, on="doc_id")
+    # every text group is wholly one split
+    assert (merged.groupby("text")["split"].nunique() == 1).all()
+    # the canonical-member rule
+    canon = merged.groupby("text")["doc_id"].min()
+    for t, c in canon.items():
+        want = "test" if hashlib.md5(str(c).encode()).hexdigest()[:2] < "33" else "train"
+        assert (merged.loc[merged["text"] == t, "split"] == want).all()
+
+
+def test_top_bigrams_matches_counter(ray_session, rng):
+    from collections import Counter
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [
+        " ".join(rng.choice(vocab, rng.integers(0, 12)))
+        for _ in range(400)
+    ] + ["", "   ", "solo"]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+    got = top_bigrams(rd.from_pandas(df), k=10)
+    c: Counter = Counter()
+    for s in docs:
+        toks = s.strip(" ").lower().split()
+        c.update(a + " " + b for a, b in zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["gram"], got["n"])) == want
