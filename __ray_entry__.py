@@ -332,29 +332,37 @@ def img_oracle_sql(sf: str) -> dict[str, str]:
     band_files = ", ".join(
         f"'{run}/{d}/*.parquet'" for d in ("edges_band", "edges_caption")
     )
-    link_files = ", ".join(
-        f"'{run}/{d}/*.parquet'" for d in ("collapse_local", "collapse_global")
-    )
-    # dist-0 link edges live in the collapse stages as kind=1 rows
+    # The engine's edge stages emit INT phash pairs (id <-> phash is 1:1
+    # after the exact collapse); clustering = CC over the hash graph,
+    # then every ok image joins its phash's component. A phash outside
+    # the graph keys its own group (unedged exact duplicates); groups
+    # of >= 2 images become clusters, cluster_id = min member image_id.
     edges_cte = f"""e AS (
-              SELECT id_a, id_b FROM read_parquet([{band_files}])
-              UNION ALL
-              SELECT id_a, id_b FROM read_parquet([{link_files}]) WHERE kind = 1
+              SELECT phash_a, phash_b FROM read_parquet([{band_files}])
             )"""
     return {
         "img_clusters": f"""
             WITH RECURSIVE {edges_cte},
             und AS (
-              SELECT id_a AS src, id_b AS dst FROM e
+              SELECT phash_a AS src, phash_b AS dst FROM e
               UNION
-              SELECT id_b, id_a FROM e
+              SELECT phash_b, phash_a FROM e
             ),
             reach(src, dst) AS (
               SELECT DISTINCT src, src AS dst FROM und
               UNION
               SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+            ),
+            comp AS (SELECT src AS phash, min(dst) AS comp_id FROM reach GROUP BY src),
+            memb AS (
+              SELECT h.image_id, coalesce(c.comp_id, h.phash) AS key
+              FROM read_parquet('{run}/hashes/*.parquet') h
+              LEFT JOIN comp c ON c.phash = h.phash
+              WHERE h.status = 'ok'
             )
-            SELECT min(dst) AS cluster_id, src AS image_id FROM reach GROUP BY src
+            SELECT min(image_id) OVER (PARTITION BY key) AS cluster_id, image_id
+            FROM memb
+            QUALIFY count(*) OVER (PARTITION BY key) >= 2
         """,
         "img_plan": f"""
             WITH j AS (

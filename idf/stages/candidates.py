@@ -2,20 +2,21 @@
 reference's all-pairs BK-tree scan (X1/X2, index/BKTreeIndex.java) with
 shuffle-based generation (SURVEY §2.5 J1/J2).
 
-Three streaming sub-pipelines, each emitting verified edge rows
-``(id_a, id_b, dist)`` with ``id_a < id_b`` and
-``hamming(phash_a, phash_b) <= radius`` exact (the X2 predicate,
-inclusive radius per BKTreeIndex.java:43):
+Three streaming sub-pipelines. The image pipeline runs them in
+INT-PAIR mode (``(phash_a, phash_b, dist)`` rows, ``phash_a <
+phash_b``); the generic mode emits ``(id_a, id_b, dist)`` id pairs
+for callers without a 1:1 id<->hash map (simhash_pairs). The verify
+predicate is always ``hamming(phash_a, phash_b) <= radius`` exact
+(the X2 predicate, inclusive radius per BKTreeIndex.java:43):
 
-1. exact-duplicate collapse (skew control + dist-0 edges):
-   a per-batch combiner dedupes identical hashes locally and emits
-   local star edges WITHOUT a shuffle; only batch-distinct
-   (hash, local_rep) rows enter the global ``groupby(phash)``, which
-   emits the global distinct-hash table plus rep->local_rep link
-   edges. Identical-hash floods (flat images — the reference's
+1. exact-duplicate collapse (skew control): a per-batch combiner
+   dedupes identical hashes locally WITHOUT a shuffle; only
+   batch-distinct hashes enter the global ``groupby(phash)`` distinct.
+   Identical-hash floods (flat images — the reference's
    true-grayscale fixture family) therefore never concentrate in one
    shuffle partition: that is the explicit skew/salting story required
-   by the north rule, with per-stage counts recorded in the manifest.
+   by the north rule. Dist-0 membership needs no edges at all — the
+   CC stage joins every ok image to its phash's component.
 2. pigeonhole banding over DISTINCT hashes: each hash emits, per
    16-bit segment, every segment key within ``e = ceil(floor(r/m)/2)``
    bit flips; two hashes within Hamming r share >= 1 key (proof in
@@ -48,76 +49,31 @@ EDGE_SCHEMA = pa.schema(
         ("phash_b", pa.int64()),
     ]
 )
-COLLAPSE_SCHEMA = pa.schema(
-    [("id_a", pa.string()), ("id_b", pa.string()), ("phash", pa.int64()), ("kind", pa.int8())]
-)
-KIND_DISTINCT, KIND_EDGE = 0, 1
-
-
 # ---------------------------------------------------------------------------
 # 1. exact-hash collapse
 
 
-def local_collapse_batch(t: pa.Table) -> pa.Table:
-    """Per-batch combiner: one rep per distinct phash in the batch.
+def distinct_hashes(hashes_ok: rd.Dataset) -> rd.Dataset:
+    """Global DISTINCT over the phash column — the exact-duplicate
+    collapse: identical images become ONE banding node, so hash floods
+    (flat images) cost one row, not a quadratic bucket.
 
-    Emits (rep, rep, phash, KIND_DISTINCT) + (rep, member, phash,
-    KIND_EDGE) star edges. No shuffle happens here; downstream only
-    groups the KIND_DISTINCT rows.
-    """
-    df = pd.DataFrame(
-        {
-            "image_id": t["image_id"].to_pylist(),
-            "phash": t["phash"].to_numpy(zero_copy_only=False),
-        }
-    ).sort_values(["phash", "image_id"], kind="mergesort")
-    ids = df["image_id"].to_numpy(dtype=object)
-    hashes = df["phash"].to_numpy()
-    first = np.ones(len(ids), dtype=bool)
-    first[1:] = hashes[1:] != hashes[:-1]
-    group_idx = np.cumsum(first) - 1
-    reps = ids[first][group_idx]  # per-row local rep (min id per hash)
-    kind = np.where(first, KIND_DISTINCT, KIND_EDGE).astype(np.int8)
-    return pa.table(
-        {
-            "id_a": pa.array(reps, pa.string()),
-            "id_b": pa.array(ids, pa.string()),
-            "phash": pa.array(hashes, pa.int64()),
-            "kind": pa.array(kind),
-        }
-    )
+    One chained Ray job: per-batch ``pc.unique`` combiner (no shuffle)
+    -> bucketed global unique over int64 hashes only. The per-image
+    id strings never enter this stage; image membership is recovered
+    by the CC stage's hashes-table join."""
+    import pyarrow.compute as pc
 
+    def local_unique(t: pa.Table) -> pa.Table:
+        return pa.table({"phash": pc.unique(t["phash"].combine_chunks())})
 
-def global_collapse(local_distinct: rd.Dataset) -> rd.Dataset:
-    """Bucketed groupby(phash) over batch-distinct rows -> global rep +
-    link edges. The per-hash work is a vectorized min-per-group over the
-    whole bucket, not per-group python."""
-
-    def _merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype=object),
-                    "id_b": pd.Series([], dtype=object),
-                    "phash": pd.Series([], dtype=np.int64),
-                    "kind": pd.Series([], dtype=np.int8),
-                }
-            )
-        g = g.sort_values(["phash", "id_a"], kind="mergesort")
-        rep = g.groupby("phash", sort=False)["id_a"].transform("first")
-        kind = np.where(g["id_a"].to_numpy() == rep.to_numpy(), KIND_DISTINCT, KIND_EDGE)
-        return pd.DataFrame(
-            {
-                "id_a": rep.to_numpy(),
-                "id_b": g["id_a"].to_numpy(),
-                "phash": g["phash"].to_numpy(),
-                "kind": kind.astype(np.int8),
-            }
-        )
+    def bucket_unique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"phash": pd.unique(g["phash"].to_numpy())})
 
     from idf.ops import bucketed_apply
 
-    return bucketed_apply(local_distinct, "phash", _merge_bucket, polars_sort=True)
+    local = hashes_ok.map_batches(local_unique, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_apply(local, "phash", bucket_unique, polars_sort=True)
 
 
 # ---------------------------------------------------------------------------
@@ -138,32 +94,37 @@ def _expansion_masks(seg_bits: int, e: int) -> np.ndarray:
 
 class BandExpander:
     """map_batches UDF: distinct (image_id, phash) -> (key, image_id, phash)
-    expansion rows; key packs (segment_idx, segment_bits-after-flip)."""
+    expansion rows; key packs (segment_idx, segment_bits-after-flip).
 
-    def __init__(self, cfg: DedupConfig):
+    ``with_ids=False`` emits only (key, phash) — the image pipeline's
+    mode, where the exact-collapse stage guarantees id_a <-> phash is
+    1:1 so the hash itself is the node identity and the (heavy) id
+    string need not cross the banding shuffle (~2.6x fewer bytes and
+    no per-bucket string factorize; measured 1.7x faster end-to-end at
+    sf0.1/32cpu)."""
+
+    def __init__(self, cfg: DedupConfig, with_ids: bool = True):
         self.m = cfg.n_segments
         self.seg_bits = cfg.segment_bits()
         self.masks = _expansion_masks(self.seg_bits, cfg.expansion_radius())
         self.seg_mask = np.uint64((1 << self.seg_bits) - 1)
+        self.with_ids = with_ids
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t["id_a"].to_numpy(zero_copy_only=False)
         h = t["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        n, nm = len(ids), len(self.masks)
+        n, nm = len(h), len(self.masks)
         keys = np.empty((n, self.m, nm), dtype=np.int64)
         for s in range(self.m):
             seg = (h >> np.uint64(s * self.seg_bits)) & self.seg_mask
             flipped = seg[:, None] ^ self.masks[None, :]
             keys[:, s, :] = (np.int64(s) << np.int64(self.seg_bits)) | flipped.astype(np.int64)
-        rep_ids = np.repeat(ids, self.m * nm)
         rep_hash = np.repeat(h.view(np.int64), self.m * nm)
-        return pa.table(
-            {
-                "key": pa.array(keys.reshape(-1)),
-                "image_id": pa.array(rep_ids, pa.string()),
-                "phash": pa.array(rep_hash, pa.int64()),
-            }
-        )
+        cols = {"key": pa.array(keys.reshape(-1))}
+        if self.with_ids:
+            ids = t["id_a"].to_numpy(zero_copy_only=False)
+            cols["image_id"] = pa.array(np.repeat(ids, self.m * nm), pa.string())
+        cols["phash"] = pa.array(rep_hash, pa.int64())
+        return pa.table(cols)
 
 
 _EMPTY_EDGES = {
@@ -273,6 +234,80 @@ def make_bucket_pairs_fn(radius: int, cap: int, collapse_identical: bool = True)
     return fn
 
 
+_EMPTY_INT_EDGES = {"phash_a": np.int64, "phash_b": np.int64, "dist": np.int32}
+
+
+def _empty_int_edges() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _EMPTY_INT_EDGES.items()})
+
+
+def make_bucket_pairs_int_fn(radius: int, cap: int):
+    """Whole-bucket pair emitter over (key, phash) rows — the int-only
+    twin of ``make_bucket_pairs_fn`` for inputs where the hash IS the
+    node identity (post-exact-collapse image pipeline). Same stride
+    kernel, but no string factorize: dedup, grouping and pair identity
+    all run on the int64 hashes directly. Emits (phash_a, phash_b,
+    dist) with phash_a < phash_b (dist-0 pairs are impossible by
+    construction — equal hashes were collapsed upstream)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return _empty_int_edges()
+        keys = g["key"].to_numpy(np.int64)
+        hashes = g["phash"].to_numpy(np.int64)
+        order = np.lexsort((hashes, keys))
+        keys, hashes = keys[order], hashes[order]
+        first = np.ones(len(keys), dtype=bool)  # drop duplicate (key, phash)
+        first[1:] = (keys[1:] != keys[:-1]) | (hashes[1:] != hashes[:-1])
+        keys, hashes = keys[first], hashes[first]
+        hu = hashes.view(np.uint64)
+        n = len(keys)
+        if n < 2:
+            return _empty_int_edges()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        gid = np.repeat(np.arange(len(starts)), counts)
+        out_a, out_b, out_d = [], [], []
+        small_max = int(min(cap, counts.max()))
+        for d in range(1, small_max):
+            if d >= n:
+                break
+            i = np.flatnonzero((gid[:-d] == gid[d:]) & (counts[gid[:-d]] <= cap))
+            if len(i) == 0:
+                continue
+            j = i + d
+            dist = popcount64(hu[i] ^ hu[j])
+            keep = dist <= radius
+            if keep.any():
+                ha, hb = hashes[i[keep]], hashes[j[keep]]
+                out_a.append(np.minimum(ha, hb))
+                out_b.append(np.maximum(ha, hb))
+                out_d.append(dist[keep])
+        for gi in np.flatnonzero(counts > cap):
+            s, c = starts[gi], counts[gi]
+            sub = _emit_pairs_codes(hashes[s : s + c], hu[s : s + c], radius, cap)
+            if sub is not None:
+                out_a.append(sub[0])
+                out_b.append(sub[1])
+                out_d.append(sub[2])
+        if not out_a:
+            return _empty_int_edges()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        dist = np.concatenate(out_d)
+        # pair dedup across band keys within the bucket: lexsort on the
+        # two int columns (no 32-bit packing — hashes use all 64 bits)
+        o = np.lexsort((b, a))
+        a, b, dist = a[o], b[o], dist[o]
+        f = np.ones(len(a), dtype=bool)
+        f[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pd.DataFrame(
+            {"phash_a": a[f], "phash_b": b[f], "dist": dist[f].astype(np.int32)}
+        )
+
+    return fn
+
+
 def _emit_pairs_codes(codes: np.ndarray, hashes_u64: np.ndarray, radius: int, cap: int):
     """Chunked exact pairwise verify for one oversized group; returns
     (code_a, code_b, dist) arrays with code_a < code_b, or None."""
@@ -299,7 +334,10 @@ def _emit_pairs_codes(codes: np.ndarray, hashes_u64: np.ndarray, radius: int, ca
 
 
 def band_edges(
-    distinct: rd.Dataset, cfg: DedupConfig, collapse_identical: bool = True
+    distinct: rd.Dataset,
+    cfg: DedupConfig,
+    collapse_identical: bool = True,
+    int_pairs: bool = False,
 ) -> rd.Dataset:
     """Distinct-hash table -> verified candidate edges via banding.
 
@@ -307,10 +345,15 @@ def band_edges(
     exact-collapsed and the full pair set (incl. dist-0 pairs) is the
     output contract (e.g. simhash_pairs).
 
+    ``int_pairs=True`` (the image pipeline): the exact collapse made
+    id <-> phash 1:1, so the stage ships only (key, phash) through the
+    shuffle and emits (phash_a, phash_b, dist) int pairs — CC runs on
+    the hash graph and membership joins back through the hashes table.
+
     The expander runs as STATELESS TASKS (not an actor pool): its state
     is a tiny mask array rebuilt per task — dedicated actor fleets would
     only add spin-up latency per stage."""
-    expander = BandExpander(cfg)
+    expander = BandExpander(cfg, with_ids=not int_pairs)
     expanded = distinct.map_batches(
         expander,
         batch_format="pyarrow",
@@ -318,10 +361,15 @@ def band_edges(
     )
     from idf.ops import bucketed_apply
 
+    fn = (
+        make_bucket_pairs_int_fn(cfg.radius, cfg.bucket_cap)
+        if int_pairs
+        else make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap, collapse_identical)
+    )
     return bucketed_apply(
         expanded,
         "key",
-        make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap, collapse_identical),
+        fn,
         polars_sort=True,  # key/id/phash: all primitive columns
     )
 
@@ -331,32 +379,40 @@ def band_edges(
 
 
 class CaptionBander:
-    def __init__(self, cfg: DedupConfig):
+    def __init__(self, cfg: DedupConfig, with_ids: bool = True):
         self.hasher = MinHasher(cfg.minhash_k, cfg.seed)
         self.bands = cfg.minhash_bands
         self.shingle_k = cfg.shingle_k
+        self.with_ids = with_ids
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t["image_id"].to_pylist()
         caps = ["" if c is None else c for c in t["caption"].to_pylist()]
         sigs = self.hasher.signatures(caps, self.shingle_k)
         keys = band_keys(sigs, self.bands)
         n, b = keys.shape
-        return pa.table(
-            {
-                "key": pa.array(keys.reshape(-1)),
-                "image_id": pa.array(np.repeat(np.asarray(ids, dtype=object), b), pa.string()),
-                "phash": pa.array(np.repeat(t["phash"].to_numpy(zero_copy_only=False), b)),
-            }
-        )
+        cols = {"key": pa.array(keys.reshape(-1))}
+        if self.with_ids:
+            ids = t["image_id"].to_pylist()
+            cols["image_id"] = pa.array(
+                np.repeat(np.asarray(ids, dtype=object), b), pa.string()
+            )
+        cols["phash"] = pa.array(np.repeat(t["phash"].to_numpy(zero_copy_only=False), b))
+        return pa.table(cols)
 
 
-def caption_edges(hashes_ok: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
+def caption_edges(
+    hashes_ok: rd.Dataset, cfg: DedupConfig, int_pairs: bool = False
+) -> rd.Dataset:
     """Caption-LSH candidates, verified with the phash predicate so the
-    cluster partition is unchanged vs the reference semantics (J2)."""
+    cluster partition is unchanged vs the reference semantics (J2).
+
+    ``int_pairs=True``: ship (band_key, phash) only and emit int hash
+    pairs — two images with equal phash are one node for clustering, so
+    one representative per (key, phash) suffices (the in-bucket dedup),
+    and the verify predicate is on phashes alone."""
     # stateless tasks: the MinHasher's permutation arrays are tiny and
     # ship in the task closure; no actor fleet spin-up per stage
-    bander = CaptionBander(cfg)
+    bander = CaptionBander(cfg, with_ids=not int_pairs)
     banded = hashes_ok.map_batches(
         bander,
         batch_format="pyarrow",
@@ -367,12 +423,17 @@ def caption_edges(hashes_ok: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     # fn (the collapse stage already links those at dist 0)
     from idf.ops import bucketed_apply
 
-    return bucketed_apply(
-        banded, "key", make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap), polars_sort=True
+    fn = (
+        make_bucket_pairs_int_fn(cfg.radius, cfg.bucket_cap)
+        if int_pairs
+        else make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap)
     )
+    return bucketed_apply(banded, "key", fn, polars_sort=True)
 
 
-def dedup_edges(edges: rd.Dataset, with_phash: bool = False) -> rd.Dataset:
+def dedup_edges(
+    edges: rd.Dataset, with_phash: bool = False, int_pairs: bool = False
+) -> rd.Dataset:
     """J3: distinct (id_a, id_b), keeping min dist — bucketed grouped
     aggregate (pair keys are high-cardinality).
 
@@ -381,9 +442,14 @@ def dedup_edges(edges: rd.Dataset, with_phash: bool = False) -> rd.Dataset:
     stages shrinks their outputs ~25x and keeps the serial CC input
     tiny — one extra parallel shuffle buys a much smaller sequential
     stage. ``with_phash`` carries the endpoint hashes through (a pair's
-    phashes are constant, so 'first' is exact)."""
+    phashes are constant, so 'first' is exact). ``int_pairs``: the pair
+    key is (phash_a, phash_b) — the image pipeline's int-edge schema."""
     from idf.ops import bucketed_aggregate
 
+    if int_pairs:
+        return bucketed_aggregate(
+            edges, ["phash_a", "phash_b"], {"dist": ("dist", "min")}, polars_sort=True
+        )
     aggs = {"dist": ("dist", "min")}
     if with_phash:
         aggs["phash_a"] = ("phash_a", "first")

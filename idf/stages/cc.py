@@ -256,6 +256,87 @@ def _cc_labels(ea: np.ndarray, eb: np.ndarray, n: int) -> np.ndarray:
     return labels
 
 
+def components_phash_labelprop(
+    phash_edge_dirs: list[str], hashes_dir: str, max_iters: int = 50
+) -> rd.Dataset:
+    """Distributed CC over the INT phash graph + membership expansion —
+    the scale path when the edge list exceeds driver memory
+    (cfg.cc_driver_max_edges). Mirrors ``components_phash_driver``:
+
+    1. min-label propagation over (phash_a, phash_b) int edges
+    2. every ok image joins its phash's component (one co-grouping
+       shuffle); a phash absent from the graph keys its own group (the
+       unedged exact-duplicate case)
+    3. per component: drop singletons, cluster_id = min image_id
+
+    The membership join is NUMPY searchsorted inside the bucket, not a
+    pandas left-merge: a merge would promote the int64 label column to
+    float64 on misses and corrupt hashes above 2^53."""
+    import pyarrow.dataset as pads
+
+    edges = None
+    for d in phash_edge_dirs:
+        part = rd.read_parquet(d, columns=["phash_a", "phash_b"])
+        edges = part if edges is None else edges.union(part)
+    id_edges = edges.map_batches(
+        lambda t: pa.table({"id_a": t["phash_a"], "id_b": t["phash_b"]}),
+        batch_format="pyarrow",
+    )
+    labels = components_labelprop(id_edges, max_iters=max_iters).map_batches(
+        lambda t: pa.table(
+            {
+                "image_id": pa.nulls(len(t), pa.string()),
+                "phash": t["image_id"],
+                "label": t["cluster_id"],
+                "__side": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    hashes = rd.read_parquet(
+        hashes_dir,
+        columns=["image_id", "phash"],
+        filter=pads.field("status") == "ok",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "image_id": t["image_id"],
+                "phash": t["phash"],
+                "label": pa.nulls(len(t), pa.int64()),
+                "__side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _member_key(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__side"].to_numpy()
+        lg = g[side == 0]
+        rg = g[side == 1].sort_values("phash")
+        x = lg["phash"].to_numpy(dtype=np.int64)
+        key = x.copy()
+        rp = rg["phash"].to_numpy(dtype=np.int64)
+        if len(rp):
+            rl = rg["label"].to_numpy(dtype=np.int64)
+            pos = np.clip(np.searchsorted(rp, x), 0, len(rp) - 1)
+            hit = rp[pos] == x
+            key[hit] = rl[pos[hit]]
+        return pd.DataFrame({"image_id": lg["image_id"].to_numpy(), "__key": key})
+
+    from idf.ops import bucketed_apply, bucketed_group_apply
+
+    keyed = bucketed_apply(hashes.union(labels), "phash", _member_key)
+
+    def _emit(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"cluster_id": pd.Series([], dtype=object), "image_id": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame({"cluster_id": g["image_id"].min(), "image_id": g["image_id"]})
+
+    return bucketed_group_apply(keyed, "__key", _emit)
+
+
 def components_phash_driver(phash_edge_dirs: list[str], hashes_dir: str) -> pa.Table:
     """Driver CC over the INT phash graph, expanded to image clusters.
 
@@ -348,8 +429,8 @@ def components_phash_driver(phash_edge_dirs: list[str], hashes_dir: str) -> pa.T
 
 
 # An edge source: (stage directory, optional `kind` value to filter on).
-# Collapse-stage dirs carry their dist-0 link edges as kind==KIND_EDGE
-# rows, so no separate "exact edges" stage (and its barrier) is needed.
+# The image pipeline uses plain phash-pair dirs (kind=None); the kind
+# filter remains for generic callers whose stages mix row kinds.
 EdgeSource = tuple[str, int | None]
 
 
@@ -437,12 +518,13 @@ def connected_components(
     the driver."""
     mode = getattr(cfg, "cc_mode", "auto") if cfg is not None else "auto"
     limit = getattr(cfg, "cc_driver_max_edges", 5_000_000) if cfg is not None else 5_000_000
-    if phash_edge_dirs is not None and hashes_dir is not None and mode != "labelprop":
+    if phash_edge_dirs is not None and hashes_dir is not None:
+        if mode == "labelprop":
+            return components_phash_labelprop(phash_edge_dirs, hashes_dir)
         n_edges = count_edge_rows([(d, None) for d in phash_edge_dirs])
         if mode == "driver" or n_edges <= limit:
             return components_phash_driver(phash_edge_dirs, hashes_dir)
-        if parquet_sources is not None:
-            return components_labelprop(_sources_dataset(parquet_sources))
+        return components_phash_labelprop(phash_edge_dirs, hashes_dir)
     if parquet_sources is not None:
         if mode == "labelprop" or (mode == "auto" and count_edge_rows(parquet_sources) > limit):
             return components_labelprop(_sources_dataset(parquet_sources))
