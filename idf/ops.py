@@ -281,16 +281,15 @@ def asof_join(
 
         lg = t.filter(pc.equal(t["__side"], 0)).select(lcols).to_pandas()
         rg = t.filter(pc.equal(t["__side"], 1)).select(rcols).to_pandas()
-        empty = pd.merge_asof(
-            lg.iloc[0:0],
-            rg.iloc[0:0],
-            left_on=left_on,
-            right_on=right_on,
-            left_by=left_by,
-            right_by=right_by,
-        )
-        if lg.empty or rg.empty:
-            return empty if how == "left" and not lg.empty else empty.iloc[0:0]
+        if lg.empty:
+            return pd.merge_asof(
+                lg,
+                rg.iloc[0:0],
+                left_on=left_on,
+                right_on=right_on,
+                left_by=left_by,
+                right_by=right_by,
+            )
         lg = lg.sort_values(left_on, kind="mergesort")
         # sorted by right_on primary; merge_asof picks the LAST among
         # equal right_on values -> ascending tiebreak = max wins

@@ -256,3 +256,42 @@ def test_top_bigrams_matches_counter(ray_session, rng):
         c.update(a + " " + b for a, b in zip(toks, toks[1:]))
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["gram"], got["n"])) == want
+
+
+def test_asof_join_left_keeps_unmatched(ray_session):
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.array([1, 1, 2, 3], dtype=np.int64),  # user 3 has no orders
+            "ts": pd.to_datetime(
+                ["2024-01-05", "2024-01-01", "2024-01-05", "2024-01-05"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.array([7, 8], dtype=np.int64),
+            "o_custkey": np.array([1, 2], dtype=np.int64),
+            "o_orderdate": pd.to_datetime(["2024-01-02", "2024-01-02"]).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_pandas(ev),
+            rd.from_pandas(orders),
+            left_by="user_id",
+            right_by="o_custkey",
+            left_on="ts",
+            right_on="o_orderdate",
+            how="left",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4  # every left row survives
+    matched = out["o_orderkey"].notna()
+    # event 1 (before any order) and user 3 (no orders at all) are unmatched
+    assert matched.tolist() == [True, False, True, False]
