@@ -113,6 +113,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return keep.union(quar)
 
+    def img_thumbs(sf):
+        """Multimodal resize stage (rows-only: SQL cannot decode): real
+        decode -> EXIF normalize -> bilinear downscale -> PNG encode via
+        the in-repo codecs; geometry + determinism gated in pytest."""
+        import pyarrow as pa
+
+        from idf.functions.media import image_thumbnails
+        from idf.synth import ensure_images_cache
+
+        images = rd.read_parquet(ensure_images_cache(sf))
+        thumbs = image_thumbnails(images, max_side=32)
+        return thumbs.map_batches(
+            lambda t: pa.table(
+                {
+                    "image_id": t["image_id"],
+                    "w": t["w"],
+                    "h": t["h"],
+                    "n_bytes": pa.array(
+                        [len(b) if b is not None else 0 for b in t["thumb"].to_pylist()],
+                        pa.int64(),
+                    ),
+                    "status": t["status"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     # -- relational parity ops on the driver tables (SQL-checkable)
     def orders_top1_per_cust(sf):
         orders = rd.read_parquet(
@@ -266,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_apply": img_apply,
         "img_plan_rewrite": img_plan_rewrite,
         "img_fetch": img_fetch,
+        "img_thumbs": img_thumbs,
         "orders_top1_per_cust": orders_top1_per_cust,
         "orders_min_group_size": orders_min_group_size,
         "cust_orders_by_nation": cust_orders_by_nation,

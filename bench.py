@@ -91,6 +91,23 @@ def run_bench() -> dict:
     cosine_topk(emb, list(range(64)), k=10).count()
     queries["emb_cosine_topk"] = round(time.time() - t0, 3)
 
+    from idf.functions.relational import events_asof_orders, sessionize
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+    )
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    t0 = time.time()
+    events_asof_orders(ev, od).count()
+    queries["events_asof_orders"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    sessionize(ev).count()
+    queries["events_sessions"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "img_dedup_pipeline_wall_sec",
         "value": round(pipeline_sec, 3),
