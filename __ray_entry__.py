@@ -57,7 +57,11 @@ def _docs(sf_dir: str):
 def _emb(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from idf.ops import strip_schema_metadata
+
+    return strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -77,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         winnow_fingerprints,
     )
     from idf.functions.text_dedup import (
+        dedup_docs_map,
         exact_dedup_docs,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
@@ -312,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": lambda sf: exact_dedup_docs(_docs(sf)),
         "doc_fingerprint": lambda sf: fingerprint_md5(_docs(sf)),
         "doc_ngram_pairs": lambda sf: ngram_jaccard_pairs(_docs(sf), tau=0.6),
+        "doc_dedup_map": lambda sf: dedup_docs_map(_docs(sf), tau=0.8),
         "doc_minhash_pairs": lambda sf: minhash_lsh_pairs(_docs(sf), tau=0.8).select_columns(
             ["doc_id_a", "doc_id_b"]
         ),
@@ -587,6 +593,19 @@ def _minhash_sql(tau: float = 0.8, k: int = 3, num_perm: int = 128, bands: int =
     collision by signature-tuple equality, exact-Jaccard verify over
     the md5 shingle-hash sets. short="self" semantics: <k-token docs
     contribute one whole-text shingle ('' when empty)."""
+    return f"""
+        WITH {_minhash_cte_body(tau, k, num_perm, bands)}
+        SELECT doc_id_a, doc_id_b FROM mh_pairs
+    """
+
+
+def _minhash_cte_body(
+    tau: float = 0.8, k: int = 3, num_perm: int = 128, bands: int = 32
+) -> str:
+    """The minhash pair derivation as a reusable WITH-body ending in a
+    ``mh_pairs(doc_id_a, doc_id_b)`` CTE (used standalone by
+    doc_minhash_pairs and composed under WITH RECURSIVE by
+    doc_dedup_map's connected-components closure)."""
     from idf.kernels.minhash import MinHasher
 
     mh = MinHasher(num_perm, seed=42)
@@ -594,8 +613,7 @@ def _minhash_sql(tau: float = 0.8, k: int = 3, num_perm: int = 128, bands: int =
         f"({i}, {int(mh.a[i])}::HUGEINT, {int(mh.b[i])}::HUGEINT)" for i in range(num_perm)
     )
     rows_per = num_perm // bands
-    return f"""
-        WITH t AS (
+    return f"""t AS (
           SELECT doc_id,
                  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
           FROM documents
@@ -630,14 +648,15 @@ def _minhash_sql(tau: float = 0.8, k: int = 3, num_perm: int = 128, bands: int =
           JOIN shh ha ON ha.doc_id = c.a
           JOIN shh hb ON hb.doc_id = c.b AND hb.h = ha.h
           GROUP BY c.a, c.b
-        )
-        SELECT c.a AS doc_id_a, c.b AS doc_id_b
-        FROM cand c
-        JOIN sizes sa ON sa.doc_id = c.a
-        JOIN sizes sb ON sb.doc_id = c.b
-        LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-        WHERE coalesce(i.m, 0) * 1.0 / (sa.n + sb.n - coalesce(i.m, 0)) >= {tau}
-    """
+        ),
+        mh_pairs AS (
+          SELECT c.a AS doc_id_a, c.b AS doc_id_b
+          FROM cand c
+          JOIN sizes sa ON sa.doc_id = c.a
+          JOIN sizes sb ON sb.doc_id = c.b
+          LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+          WHERE coalesce(i.m, 0) * 1.0 / (sa.n + sb.n - coalesce(i.m, 0)) >= {tau}
+        )"""
 
 
 def _substring_dup_cte(L: int = 30) -> str:
@@ -829,6 +848,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         """,
         "doc_minhash_pairs": _minhash_sql(tau=0.8),
+        # dedup map = CC closure over the SAME (exactly replicated)
+        # minhash pair set; canon = min doc_id per component
+        "doc_dedup_map": f"""
+            WITH RECURSIVE {_minhash_cte_body(tau=0.8)},
+            und AS (
+              SELECT doc_id_a AS src, doc_id_b AS dst FROM mh_pairs
+              UNION
+              SELECT doc_id_b, doc_id_a FROM mh_pairs
+            ),
+            reach(src, dst) AS (
+              SELECT DISTINCT src, src AS dst FROM und
+              UNION
+              SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+            ),
+            comp AS (SELECT src AS doc_id, min(dst) AS canon FROM reach GROUP BY src)
+            SELECT d.doc_id, coalesce(c.canon, d.doc_id) AS canon_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        """,
         "doc_ngram_pairs": """
             WITH toks AS (
               SELECT doc_id, w, i

@@ -607,3 +607,106 @@ def substring_dup_spans(
 
     kwargs = {} if n_buckets is None else {"n_buckets": n_buckets}
     return bucketed_group_apply(pos, "doc_id", _merge, **kwargs)
+
+
+def dedup_docs_map(
+    docs: rd.Dataset, tau: float = 0.8, driver_max_edges: int = 5_000_000
+) -> rd.Dataset:
+    """End-to-end near-duplicate document dedup: MinHash-LSH candidate
+    pairs -> connected components -> (doc_id, canon_id) canonical map
+    over ALL documents (canon_id == doc_id for non-duplicates; the
+    keep-list is ``canon_id == doc_id``). The text twin of the image
+    pipeline's cluster+plan stages.
+
+    Components over the near-dup pair graph (the corpus minority) run
+    on the driver below ``driver_max_edges`` — the same auto-guard the
+    image CC uses — and via distributed min-label propagation above it.
+    Either way the canon map reaches the corpus as a broadcast (small
+    case) or a bucketed co-group join (scale case); the documents table
+    itself streams."""
+    import ray
+
+    from idf.ops import get_broadcast
+    from idf.stages.cc import _cc_labels, _factorize_sorted, components_labelprop
+
+    pairs = minhash_lsh_pairs(docs, tau=tau)
+    edges = pairs.map_batches(
+        lambda t: t.select(["doc_id_a", "doc_id_b"]).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    ).materialize()
+    n_edges = edges.count()
+    ids_only = docs.map_batches(
+        lambda t: t.select(["doc_id"]).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+
+    if n_edges <= driver_max_edges:
+        ep = edges.to_pandas()
+        codes, uniq = _factorize_sorted(
+            pd.concat([ep["doc_id_a"], ep["doc_id_b"]], ignore_index=True)
+        )
+        labels = _cc_labels(codes[: len(ep)], codes[len(ep) :], len(uniq))
+        # sorted (node_id, canon_id) int arrays, broadcast once; batch
+        # lookup is a searchsorted — int64-exact end to end (a dict
+        # .map would round NaN-misses through float64)
+        nodes = np.asarray(uniq, dtype=np.int64)
+        canon_of = nodes[labels]
+        ref = ray.put((nodes, canon_of))
+
+        def _map(df: pd.DataFrame) -> pd.DataFrame:
+            k, v = get_broadcast(ref)
+            ids = df["doc_id"].to_numpy(dtype=np.int64)
+            out = ids.copy()
+            if len(k):
+                pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+                hit = k[pos] == ids
+                out[hit] = v[pos[hit]]
+            return pd.DataFrame({"doc_id": ids, "canon_id": out})
+
+        return ids_only.map_batches(_map, batch_format="pandas")
+
+    # scale path: distributed CC, then an int-safe bucketed co-group
+    # (searchsorted, NOT a pandas left-merge — a merge promotes misses
+    # to float64 and would corrupt 64-bit ids above 2^53)
+    id_edges = edges.map_batches(
+        lambda t: pa.table({"id_a": t["doc_id_a"], "id_b": t["doc_id_b"]}),
+        batch_format="pyarrow",
+    )
+    labels = components_labelprop(id_edges).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["image_id"],
+                "canon": t["cluster_id"],
+                "__side": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tagged_docs = ids_only.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "canon": pa.nulls(len(t), pa.int64()),
+                "__side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _join(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__side"].to_numpy()
+        lg = g[side == 0]
+        rg = g[side == 1].sort_values("doc_id")
+        x = lg["doc_id"].to_numpy(dtype=np.int64)
+        canon = x.copy()
+        rp = rg["doc_id"].to_numpy(dtype=np.int64)
+        if len(rp):
+            rl = rg["canon"].to_numpy(dtype=np.int64)
+            pos = np.clip(np.searchsorted(rp, x), 0, len(rp) - 1)
+            hit = rp[pos] == x
+            canon[hit] = rl[pos[hit]]
+        return pd.DataFrame({"doc_id": x, "canon_id": canon})
+
+    from idf.ops import bucketed_apply
+
+    return bucketed_apply(tagged_docs.union(labels), "doc_id", _join)

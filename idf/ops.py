@@ -223,6 +223,21 @@ def hash_join(
     )
 
 
+def strip_schema_metadata(ds: rd.Dataset) -> rd.Dataset:
+    """Drop pandas schema metadata from every block (zero-copy).
+
+    Parquet written via pandas carries a `pandas` metadata dict that
+    makes the Arrow schema UNHASHABLE, which silently defeats Ray's
+    set()-based schema-dedup fast path in every union/shuffle reduce
+    and spams 'Failed to hash the schemas' warnings. One pass at the
+    read fixes the whole downstream graph."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

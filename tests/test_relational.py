@@ -295,3 +295,41 @@ def test_asof_join_left_keeps_unmatched(ray_session):
     matched = out["o_orderkey"].notna()
     # event 1 (before any order) and user 3 (no orders at all) are unmatched
     assert matched.tolist() == [True, False, True, False]
+
+
+def test_dedup_docs_map_driver_and_scale_paths_agree(ray_session, rng):
+    from idf.functions.text_dedup import dedup_docs_map
+
+    # 30 groups of exact duplicates (Jaccard 1.0 >= any tau) + 40 unique docs
+    rows = []
+    did = 0
+    for g in range(30):
+        body = f"shared body text number {g} with several tokens " * 3
+        for _ in range(int(rng.integers(2, 5))):
+            rows.append((did, body))
+            did += 1
+    for u in range(40):
+        rows.append((did, f"totally unique document {u} " + "x" * u))
+        did += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "text"]).sample(frac=1, random_state=1)
+    ds = rd.from_pandas(df)
+
+    got = dedup_docs_map(ds, tau=0.8).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(df)
+    merged = got.merge(df, on="doc_id")
+    # every exact-dup group maps to ONE canon: the min doc_id of the group
+    canon_by_text = merged.groupby("text")["canon_id"].nunique()
+    assert (canon_by_text == 1).all()
+    want_canon = merged.groupby("text")["doc_id"].min()
+    for text, canon in want_canon.items():
+        assert (merged.loc[merged["text"] == text, "canon_id"] == canon).all()
+
+    # forcing the distributed path (labelprop + bucketed co-group) must
+    # produce the identical map
+    got2 = (
+        dedup_docs_map(rd.from_pandas(df), tau=0.8, driver_max_edges=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
