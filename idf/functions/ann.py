@@ -239,17 +239,48 @@ def cosine_pairs(embeddings: rd.Dataset, tau: float = 0.9, n_shards: int = 8) ->
     return bucketed_apply(expanded, "pairkey", _pairs_bucket, n_buckets=max(64, n_shards * n_shards))
 
 
+def _mix64(x: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64 finalizer over uint64 — a content-keyed uniform hash
+    for deterministic sampling."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed + 1)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 def train_ivf_centroids(
     embeddings: rd.Dataset, n_centroids: int, seed: int = 42, iters: int = 10
 ) -> np.ndarray:
-    """Spherical k-means coarse quantizer: seeded sample (64x the
-    centroid count) + Lloyd iterations on the driver (the sample is the
-    small side by design; the big table never materializes). Empty
-    cells are re-seeded from the farthest points — the standard fix."""
+    """Spherical k-means coarse quantizer: content-keyed sample (64x
+    the centroid count) + Lloyd iterations on the driver (the sample is
+    the small side by design; the big table never materializes). Empty
+    cells are re-seeded from the farthest points — the standard fix.
+
+    Sampling hashes vec_id (splitmix64), NOT ``random_sample``: Ray's
+    seeded sampler depends on the dynamic block layout, so the trained
+    centroids — and every IVF result downstream — drifted between
+    otherwise-identical runs. The init rows are also sorted by vec_id
+    so partition arrival order cannot reorder the k-means seed."""
+    import pyarrow as pa
+
     n_total = max(embeddings.count(), 1)
-    sample = embeddings.random_sample(
-        min(1.0, (n_centroids * 64) / n_total), seed=seed
-    ).to_pandas()
+    frac = min(1.0, (n_centroids * 64) / n_total)
+    thresh = np.uint64(int(frac * float(2**63 - 1)) * 2) if frac < 1.0 else None
+
+    def _samp(t: pa.Table) -> pa.Table:
+        t = t.select(["vec_id", "embedding"])
+        if thresh is None:
+            return t
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _mix64(ids.view(np.uint64), seed) <= thresh
+        return t.filter(pa.array(keep))
+
+    sample = (
+        embeddings.map_batches(_samp, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     x = _normalize(_stack(sample["embedding"]))
     rng = np.random.default_rng(seed)
     n_centroids = min(n_centroids, len(x))
