@@ -145,6 +145,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def __media_audio():
+        import pyarrow as pa
+
+        from idf.functions.media import audio_features, synth_audio_table
+
+        out = audio_features(rd.from_arrow(synth_audio_table(64)))
+        return out.map_batches(
+            lambda t: pa.table(
+                {
+                    "media_id": t["media_id"],
+                    "n_features": pa.array(
+                        [len(v) for v in t["features"].to_pylist()], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def __media_video():
+        from idf.functions.media import synth_video_table, video_frames
+
+        return video_frames(rd.from_arrow(synth_video_table(32)), every_n=30).select_columns(
+            ["media_id", "frame_idx"]
+        )
+
     # -- relational parity ops on the driver tables (SQL-checkable)
     def orders_top1_per_cust(sf):
         orders = rd.read_parquet(
@@ -299,6 +324,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_plan_rewrite": img_plan_rewrite,
         "img_fetch": img_fetch,
         "img_thumbs": img_thumbs,
+        # multimodal scaffolds (rows-only): the driver exercises the
+        # actor-pool plumbing over deterministic synthetic media tables;
+        # the codec decode is a clearly-marked stub (tests assert strict
+        # mode raises NotImplementedError)
+        "media_audio_features": lambda sf: __media_audio(),
+        "media_video_frames": lambda sf: __media_video(),
         "orders_top1_per_cust": orders_top1_per_cust,
         "orders_min_group_size": orders_min_group_size,
         "cust_orders_by_nation": cust_orders_by_nation,

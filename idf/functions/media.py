@@ -250,3 +250,42 @@ def image_thumbnails(
         zero_copy_batch=True,
         **kw,
     )
+
+
+def synth_audio_table(n: int = 64, seed: int = 0) -> pa.Table:
+    """Deterministic synthetic audio table (AUDIO_SCHEMA) — no external
+    data; lets the driver exercise the audio actor-pool plumbing."""
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "media_id": [f"a{i:05d}" for i in range(n)],
+            "bytes": pa.array(
+                [bytes(rng.integers(0, 256, 256, dtype=np.uint8)) for _ in range(n)],
+                pa.binary(),
+            ),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+            "n_channels": pa.array([1] * n, pa.int32()),
+            "fmt": ["wav"] * n,
+        },
+        schema=AUDIO_SCHEMA,
+    )
+
+
+def synth_video_table(n: int = 32, seed: int = 1) -> pa.Table:
+    """Deterministic synthetic video table (VIDEO_SCHEMA)."""
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "media_id": [f"v{i:05d}" for i in range(n)],
+            "bytes": pa.array(
+                [bytes(rng.integers(0, 256, 512, dtype=np.uint8)) for _ in range(n)],
+                pa.binary(),
+            ),
+            "fps": pa.array([30.0] * n, pa.float32()),
+            "n_frames": pa.array([30 * (1 + i % 8) for i in range(n)], pa.int32()),
+            "w": pa.array([64] * n, pa.int32()),
+            "h": pa.array([48] * n, pa.int32()),
+            "fmt": ["mp4"] * n,
+        },
+        schema=VIDEO_SCHEMA,
+    )
