@@ -140,35 +140,40 @@ def lang_id(ds: rd.Dataset) -> rd.Dataset:
     broken alphabetically (the iteration order of ``sorted``)."""
     profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items() if v}
 
+    # fully vectorized batch kernel (the r1 version looped Python chars
+    # per doc for the CJK count): regex counts + one explode/isin pass
+    # per profile, all in pandas' C string kernels. Semantics preserved:
+    # ties -> first alphabetical language (argmax over sorted columns),
+    # all-zero hits -> 'und', zh branch = exact 5*cjk > n_chars.
     def _lang_id(df: pd.DataFrame) -> pd.DataFrame:
-        preds, nums, dens = [], [], []
-        for text in df["text"].fillna(""):
-            if not text:
-                preds.append("und")
-                nums.append(0)
-                dens.append(1)
-                continue
-            cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
-            if 5 * cjk > len(text):
-                preds.append("zh")
-                nums.append(cjk)
-                dens.append(len(text))
-                continue
-            toks = [t.lower() for t in _WS.split(text.strip(" "))]
-            best, best_hits = "und", 0
-            for lang, prof in sorted(profiles.items()):
-                hits = sum(1 for t in toks if t in prof)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
-            nums.append(best_hits)
-            dens.append(max(len(toks), 1))
+        texts = df["text"].fillna("").reset_index(drop=True)
+        n = len(texts)
+        n_chars = texts.str.len().to_numpy(np.int64)
+        cjk = texts.str.count("[一-鿿]").to_numpy(np.int64)
+        toks = texts.str.strip(" ").str.lower().str.split(r"\s+")
+        den = np.maximum(toks.map(len).to_numpy(np.int64), 1)
+        langs = sorted(profiles)
+        mat = np.zeros((n, len(langs)), dtype=np.int64)
+        ex = toks.explode()
+        for j, lang in enumerate(langs):
+            h = ex.isin(profiles[lang]).groupby(level=0).sum()
+            mat[h.index.to_numpy(), j] = h.to_numpy(np.int64)
+        best_j = mat.argmax(axis=1)
+        best_hits = mat[np.arange(n), best_j] if n else np.zeros(0, np.int64)
+        pred = np.where(
+            best_hits > 0, np.asarray(langs, dtype=object)[best_j], "und"
+        ).astype(object)
+        num = best_hits.copy()
+        zh = 5 * cjk > n_chars
+        pred[zh] = "zh"
+        num[zh] = cjk[zh]
+        den[zh] = n_chars[zh]
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"],
-                "lang_pred": preds,
-                "score_num": np.array(nums, dtype=np.int64),
-                "score_den": np.array(dens, dtype=np.int64),
+                "doc_id": df["doc_id"].to_numpy(),
+                "lang_pred": pred,
+                "score_num": num,
+                "score_den": den,
             }
         )
 
