@@ -366,6 +366,12 @@ def band_edges(
         if int_pairs
         else make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap, collapse_identical)
     )
+    # NOTE: exchange_apply (raw-task shuffle) measured 2x faster than
+    # this sort STANDALONE (2.6s vs 5.1s at sf0.1/32cpu) but a WASH
+    # inside the pipeline (best-of-3 interleaved: 16.54s vs 16.66s) —
+    # the two edge stages run concurrently and already overlap the
+    # sort's coordination. Keep the streaming sort (spill-managed);
+    # exchange stays available via bucketed_apply(exchange=True).
     return bucketed_apply(
         expanded,
         "key",

@@ -207,3 +207,41 @@ def test_polars_sort_flag_scoped_to_graph(tables, ray_session, tmp_path):
         assert set(out["k"]) == set(range(7))
     finally:
         ambient.use_polars_sort = False
+
+
+def test_exchange_apply_matches_sort_path(ray_session, rng):
+    """The raw-task hash exchange co-locates keys exactly like the
+    sort-based bucketed_apply: a per-key aggregate computed through
+    either engine is identical."""
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 997, n),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+
+    def per_key_sum(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"k": pd.Series([], dtype=np.int64), "s": pd.Series([], dtype=np.int64)}
+            )
+        return g.groupby("k", sort=False)["v"].sum().reset_index(name="s")
+
+    got_sort = (
+        bucketed_apply(rd.from_pandas(df), "k", per_key_sum)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    from idf.ops import exchange_apply
+
+    got_exch = (
+        exchange_apply(rd.from_pandas(df), "k", per_key_sum)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_sort, got_exch)
+    want = df.groupby("k")["v"].sum().reset_index(name="s")
+    pd.testing.assert_frame_equal(got_exch, want, check_dtype=False)
