@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hash_split,
         lang_id,
         quality_components,
+        repetition_stats,
         token_count,
         token_count_bpe,
         top_bigrams,
@@ -353,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": events_asof_orders,
         "orders_price_band": orders_price_band,
         "lineitem_pricing_summary": lineitem_pricing_summary,
+        "doc_repetition": lambda sf: repetition_stats(_docs(sf)),
         "doc_hash_split": lambda sf: hash_split(_docs(sf)),
         "doc_leakfree_split": lambda sf: leakfree_split(_docs(sf)),
         "doc_top_bigrams": lambda sf: top_bigrams(_docs(sf), k=20),
@@ -832,6 +834,37 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_split": """
             SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < '1a'
                    THEN 'test' ELSE 'train' END AS split FROM documents
+        """,
+        # Gopher-style repetition signals: chars covered by ALL
+        # occurrences of duplicated token n-grams + type count
+        "doc_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id, w, i FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+                       generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS i
+                FROM documents WHERE trim(text) <> '')
+            ),
+            bi AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+                   FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+            b2 AS (SELECT doc_id, sum(c * length(g)) AS dup2 FROM bc WHERE c >= 2 GROUP BY 1),
+            tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+                    FROM toks a
+                    JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                    JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+            t3 AS (SELECT doc_id, sum(c * length(g)) AS dup3 FROM tc WHERE c >= 2 GROUP BY 1),
+            dt AS (SELECT doc_id, count(DISTINCT w) AS ndt FROM toks GROUP BY 1)
+            SELECT d.doc_id,
+                   length(trim(d.text))::BIGINT AS n_chars,
+                   coalesce(b2.dup2, 0)::BIGINT AS dup2_chars,
+                   coalesce(t3.dup3, 0)::BIGINT AS dup3_chars,
+                   coalesce(dt.ndt, 0)::BIGINT AS n_distinct_tokens
+            FROM documents d
+            LEFT JOIN b2 USING (doc_id)
+            LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN dt USING (doc_id)
         """,
         "doc_leakfree_split": """
             SELECT doc_id,

@@ -293,3 +293,44 @@ def top_bigrams(ds: rd.Dataset, k: int = 20, n_buckets: int = 64) -> rd.Dataset:
     cand = local.to_pandas()  # <= n_buckets * k rows by construction
     out = cand.sort_values(["n", "gram"], ascending=[False, True], kind="mergesort").head(k)
     return out.reset_index(drop=True)
+
+
+def repetition_stats(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, n_chars, dup2_chars, dup3_chars, n_distinct_tokens) —
+    Gopher-style repetition quality signals (Rae et al. 2021, public):
+    ``dupN_chars`` counts the characters covered by ALL occurrences of
+    n-grams that appear more than once in the document (token n-grams,
+    joined with single spaces), and ``n_distinct_tokens`` is the
+    type count (type-token ratio numerator). Exact integers only, so
+    the DuckDB oracle hash-matches; the downstream filter rule (e.g.
+    drop when dup2_chars/n_chars > 0.2) stays a trivial map."""
+    from collections import Counter
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids, nch, d2, d3, ndt = [], [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            s = text.strip(" ")
+            toks = _WS.split(s.lower()) if s else []
+            ids.append(doc_id)
+            nch.append(len(s))
+            ndt.append(len(set(toks)))
+            for n, out in ((2, d2), (3, d3)):
+                grams = Counter(zip(*(toks[i:] for i in range(n))))
+                out.append(
+                    sum(
+                        (sum(map(len, g)) + n - 1) * c
+                        for g, c in grams.items()
+                        if c >= 2
+                    )
+                )
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_chars": np.asarray(nch, dtype=np.int64),
+                "dup2_chars": np.asarray(d2, dtype=np.int64),
+                "dup3_chars": np.asarray(d3, dtype=np.int64),
+                "n_distinct_tokens": np.asarray(ndt, dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -209,3 +209,29 @@ def test_token_count_bpe(ray_session):
     out = token_count_bpe(ds).to_pandas().sort_values("doc_id")
     # Hello , world ! 42 x -> 6; a . b . c -> 5
     assert list(out["n_bpe_tokens"]) == [6, 0, 0, 5]
+
+
+def test_repetition_stats_known_values(ray_session):
+    from idf.functions.text import repetition_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b a b c",          # 'a b' x2 -> dup2 = 2*3; no dup tri
+                "x y z",              # no repetition
+                "",                   # empty
+                "w w w w",            # 'w w' x3 -> 9; 'w w w' x2 -> 10
+            ],
+        }
+    )
+    got = (
+        repetition_stats(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_chars"].tolist() == [9, 5, 0, 7]
+    assert got["dup2_chars"].tolist() == [6, 0, 0, 9]
+    assert got["dup3_chars"].tolist() == [0, 0, 0, 10]
+    assert got["n_distinct_tokens"].tolist() == [3, 3, 0, 1]
