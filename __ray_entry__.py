@@ -255,6 +255,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _asof(ev, od)
 
+    def events_json_k(sf):
+        from idf.functions.relational import json_field
+
+        ev = rd.read_parquet(
+            os.path.join(sf, "events.parquet"), columns=["event_id", "props"]
+        )
+        return json_field(ev, col="props", field="k", out_col="k")
+
     def orders_price_band(sf):
         from idf.ops import range_lookup
 
@@ -352,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": events_window_agg,
         "events_sessions": events_sessions,
         "events_asof_orders": events_asof_orders,
+        "events_json_k": events_json_k,
         "orders_price_band": orders_price_band,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "doc_repetition": lambda sf: repetition_stats(_docs(sf)),
@@ -810,6 +819,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events e JOIN orders o
                 ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
+        """,
+        "events_json_k": """
+            SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events
         """,
         "orders_price_band": """
             WITH bands(lo, hi, band) AS (VALUES

@@ -263,3 +263,31 @@ def leakfree_split(ds: rd.Dataset, test_hex: str = "33") -> rd.Dataset:
     return out.map_batches(
         lambda df: df[["doc_id", "split"]], batch_format="pandas"
     )
+
+
+def json_field(
+    ds: rd.Dataset,
+    col: str = "props",
+    field: str = "k",
+    out_col: str = "k",
+    keep: tuple[str, ...] = ("event_id",),
+) -> rd.Dataset:
+    """Extract one scalar field from a JSON string column — the
+    semi-structured ETL map every event pipeline runs. Per-batch
+    ``json.loads`` (CPython's C parser); missing/invalid rows emit a
+    null, mirroring SQL ``json_extract`` semantics."""
+    import json
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        def _get(s):
+            try:
+                v = json.loads(s).get(field)
+            except (TypeError, ValueError):
+                return None
+            return v
+
+        out = {c: df[c] for c in keep}
+        out[out_col] = df[col].map(_get)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(f, batch_format="pandas")
