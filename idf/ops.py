@@ -142,26 +142,33 @@ def bucketed_apply(
     bucket_fn,
     n_buckets: int = N_BUCKETS_DEFAULT,
     polars_sort: bool = False,
-    exchange: bool = False,
+    exchange: bool | None = None,
 ) -> rd.Dataset:
-    """Hash-partition rows by ``key`` into ``n_buckets`` shuffle groups
-    and apply ``bucket_fn`` (pandas in/out) to each WHOLE bucket.
+    """Hash-partition rows by ``key`` and apply ``bucket_fn`` (pandas
+    in/out) to each WHOLE co-located partition.
 
-    All rows with equal keys land in the same bucket, so any per-key
+    All rows with equal keys land in the same partition, so any per-key
     computation done inside ``bucket_fn`` (vectorized groupby/merge) is
     globally correct. This is the engine's salting primitive: shuffles
-    are keyed on the bucket (bounded scheduling units, bounded skew from
-    distinct-key count) rather than on raw keys.
+    are keyed on a bounded partition id (bounded scheduling units,
+    bounded skew from distinct-key count) rather than on raw keys.
 
-    ``exchange=True`` routes through ``exchange_apply`` (raw-task hash
-    exchange, no sort coordination) — bucket_fn then sees coarser
-    partitions (~2 per CPU) instead of ``n_buckets`` groups; valid for
-    any fn whose per-key logic is internal (all engine callers).
+    Engines: ``exchange_apply`` (raw-task hash exchange — the DEFAULT;
+    measured 20-40% faster on every serial bucketed query at sf0.1 and
+    never slower in-pipeline) or Ray Data's sort-based groupby
+    (``exchange=False``; ``n_buckets`` groups, optional polars sort
+    blocks, streaming-executor spill management — prefer it when one
+    partition may exceed a worker heap). IDF_NO_EXCHANGE=1 forces the
+    sort engine globally.
     """
     import os
 
     keys = [key] if isinstance(key, str) else list(key)
-    if exchange and not os.environ.get("IDF_NO_EXCHANGE"):
+    if exchange is None:
+        exchange = True
+    if (exchange or os.environ.get("IDF_EXCHANGE")) and not os.environ.get(
+        "IDF_NO_EXCHANGE"
+    ):
         return exchange_apply(ds, keys, bucket_fn)
     set_graph_polars_sort(ds, polars_sort)
 

@@ -183,7 +183,7 @@ def test_polars_sort_flag_scoped_to_graph(tables, ray_session, tmp_path):
 
     # polars_sort=True is applied to the graph, not the ambient context
     ds = rd.from_pandas(left)
-    bucketed_apply(ds, "k", lambda g: g, polars_sort=True).materialize()
+    bucketed_apply(ds, "k", lambda g: g, polars_sort=True, exchange=False).materialize()
     assert ds.context.use_polars_sort
     assert not getattr(DataContext.get_current(), "use_polars_sort", False)
 
@@ -202,7 +202,7 @@ def test_polars_sort_flag_scoped_to_graph(tables, ray_session, tmp_path):
         root = rd.read_parquet(str(p))
         assert root.context.use_polars_sort
         out = bucketed_apply(
-            root, "k", lambda g: g.head(1), polars_sort=False
+            root, "k", lambda g: g.head(1), polars_sort=False, exchange=False
         ).to_pandas()
         assert set(out["k"]) == set(range(7))
     finally:
@@ -229,7 +229,7 @@ def test_exchange_apply_matches_sort_path(ray_session, rng):
         return g.groupby("k", sort=False)["v"].sum().reset_index(name="s")
 
     got_sort = (
-        bucketed_apply(rd.from_pandas(df), "k", per_key_sum)
+        bucketed_apply(rd.from_pandas(df), "k", per_key_sum, exchange=False)
         .to_pandas()
         .sort_values("k")
         .reset_index(drop=True)
