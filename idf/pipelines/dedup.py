@@ -75,18 +75,29 @@ def run_dedup(
         },
     )
 
-    # 2. exact-hash collapse: ONE chained job (per-batch unique
-    # combiner, then the bucketed global distinct) over the int64
-    # phash column only — id strings stay out of the shuffle; dist-0
-    # membership is recovered by the CC stage's hashes join.
-    distinct_dir = man.run_stage(
-        "distinct_hashes",
-        lambda: distinct_hashes(
+    # 2. exact-hash collapse over the int64 phash column only — id
+    # strings stay out of the shuffle; dist-0 membership is recovered
+    # by the CC stage's hashes join. Driver fast path below the guard
+    # (one pyarrow column scan + pc.unique, ~0.1s where the Ray job
+    # costs ~1s of fixed overhead); the distributed combiner+distinct
+    # past it — same auto-guard pattern as cc_mode/plan.
+    def _build_distinct():
+        files = [p["file"] for p in man.state["stages"]["hashes"]["partitions"]]
+        n_rows = sum(p["rows"] for p in man.state["stages"]["hashes"]["partitions"])
+        if n_rows <= cfg.cc_driver_max_edges:
+            tbl = pads.dataset([os.path.join(hashes_dir, f) for f in files]).to_table(
+                columns=["phash"], filter=ok_filter
+            )
+            return pa.table({"phash": pc.unique(tbl["phash"].combine_chunks())})
+        return distinct_hashes(
             _read(hashes_dir, columns=["phash", "status"], filter=ok_filter).drop_columns(
                 ["status"]
             )
-        ),
-    )
+        )
+
+    import pyarrow as pa
+
+    distinct_dir = man.run_stage("distinct_hashes", _build_distinct)
 
     # 3. candidate edges. The same pair surfaces from many band keys,
     # so a global pair-dedup shuffle (parallel) keeps each edge output —
