@@ -142,9 +142,58 @@ def cmd_run(args) -> int:
     return rc
 
 
+def cmd_export(args) -> int:
+    """Export a committed stage in the REFERENCE's CSV shape, so a user
+    of Besnn/ImageDuplicateFinder can hand our artifacts to their
+    existing tooling:
+
+      hashes   -> path,hash          (Commands.java:89, hash as
+                                      Long.toUnsignedString)
+      clusters -> clusterId,member   (Commands.java:153)
+      plan     -> clusterId,action,path,reason  (Commands.java:278)
+
+    No Ray session: one local pyarrow scan of the stage parquet."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    stage = args.stage
+    d = os.path.join(args.run_dir, {"hashes": "hashes", "clusters": "clusters", "plan": "plan"}[stage])
+    lines: list[str] = []
+    if stage == "hashes":
+        t = pads.dataset(d).to_table(columns=["image_id", "phash", "status"])
+        ids = t["image_id"].to_pylist()
+        hs = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        ok = [s == "ok" for s in t["status"].to_pylist()]
+        lines = [f"{i},{h}" for i, h, k in zip(ids, hs, ok) if k]
+    elif stage == "clusters":
+        t = pads.dataset(d).to_table(columns=["cluster_id", "image_id"])
+        lines = [f"{c},{m}" for c, m in zip(t["cluster_id"].to_pylist(), t["image_id"].to_pylist())]
+    else:
+        t = pads.dataset(d).to_table(columns=["cluster_id", "action", "image_id", "reason"])
+        lines = [
+            f"{c},{a},{i},{r}"
+            for c, a, i, r in zip(
+                t["cluster_id"].to_pylist(),
+                t["action"].to_pylist(),
+                t["image_id"].to_pylist(),
+                t["reason"].to_pylist(),
+            )
+        ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    print(f"Wrote {len(lines)} rows -> {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="idf", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    se = sub.add_parser("export", help="export a stage as reference-shaped CSV")
+    se.add_argument("run_dir")
+    se.add_argument("stage", choices=["hashes", "clusters", "plan"])
+    se.add_argument("--out", required=True)
+    se.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("synth", help="generate a synthetic images table")
     sp.add_argument("--out", required=True)

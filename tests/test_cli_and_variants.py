@@ -82,3 +82,26 @@ def test_lance_path_routes_and_gates():
             read_images("/tmp/does_not_exist.lance")
     else:  # pragma: no cover - sandbox has no lance wheel
         pytest.skip("lance installed; gated branch not exercisable")
+
+
+def test_cli_export_reference_csv_shapes(ray_session, small_images_table, tmp_path):
+    """`idf export` emits the reference's CSV shapes (Commands.java:89
+    path,unsignedHash; :153 clusterId,member; :278
+    clusterId,action,path,reason) from engine parquet."""
+    from idf.cli import main
+
+    run_dir = tmp_path / "run"
+    run_dedup(small_images_table, str(run_dir), DedupConfig(), resume=False, do_apply=False)
+    for stage, ncols in [("hashes", 2), ("clusters", 2), ("plan", 4)]:
+        out = tmp_path / f"{stage}.csv"
+        assert main(["export", str(run_dir), stage, "--out", str(out)]) == 0
+        lines = out.read_text().strip().splitlines()
+        # reason strings carry commas unquoted, exactly like the
+        # reference's raw string concat -> bound the split
+        assert lines and all(len(ln.split(",", ncols - 1)) == ncols for ln in lines)
+    # hash column is the unsigned-decimal rendering of the int64 phash
+    h0 = (tmp_path / "hashes.csv").read_text().splitlines()[0].split(",")
+    assert int(h0[1]) >= 0
+    # plan actions restricted to the reference vocabulary
+    acts = {ln.split(",")[1] for ln in (tmp_path / "plan.csv").read_text().splitlines()}
+    assert acts <= {"KEEP", "DELETE"}
