@@ -70,6 +70,7 @@ def exchange_apply(
     key: str | list[str],
     bucket_fn,
     n_parts: int | None = None,
+    arrow_fn: bool = False,
 ) -> rd.Dataset:
     """Raw-Ray two-phase hash exchange + whole-partition apply.
 
@@ -117,13 +118,18 @@ def exchange_apply(
     def _reduce(*parts: pa.Table) -> pa.Table:
         live = [p for p in parts if p.num_rows]
         if live:
-            g = pa.concat_tables(live, promote_options="default").to_pandas()
+            t = pa.concat_tables(live, promote_options="default")
         else:
-            base = max(parts, key=lambda p: p.num_columns)
-            if base.num_columns == 0:
-                return base  # every input block was schema-less empty
-            g = base.to_pandas()
-        out = bucket_fn(g)
+            t = max(parts, key=lambda p: p.num_columns)
+            if t.num_columns == 0:
+                return t  # every input block was schema-less empty
+        # arrow_fn: hand bucket_fn the Arrow table — REQUIRED when any
+        # column holds per-side null padding (a whole-partition pandas
+        # conversion would promote null-bearing int64 to float64,
+        # corrupting 64-bit keys; the fn filters in Arrow first)
+        out = bucket_fn(t if arrow_fn else t.to_pandas())
+        if isinstance(out, pa.Table):
+            return out
         return pa.Table.from_pandas(out, preserve_index=False)
 
     refs = ds.to_arrow_refs()
@@ -364,14 +370,15 @@ def asof_join(
 
     def _prep(side: int, by_col: str):
         def fn(t: pa.Table) -> pa.Table:
-            b = _bucket_of(t[by_col].to_pandas(), n_buckets)
             cols = {
                 c: (t[c] if c in t.column_names else pa.nulls(len(t), all_types[c]))
                 for c in all_cols
             }
             cols["__side"] = pa.array(np.full(len(t), side, dtype=np.int8))
-            cols["__bucket"] = pa.array(b)
-            return pa.table(cols)
+            # unified co-location key: each side contributes its own
+            # by-column VALUE, so hashing it routes both sides together
+            cols["__asof_key"] = t[by_col]
+            return pa.table(cols).replace_schema_metadata(None)
 
         return fn
 
@@ -382,6 +389,9 @@ def asof_join(
     def _merge(t: pa.Table) -> pd.DataFrame:
         import pyarrow.compute as pc
 
+        # per-side Arrow filter BEFORE pandas: the padded columns are
+        # null only on the other side's rows, so each slice converts
+        # with its true dtypes (no int64 -> float64 promotion)
         lg = t.filter(pc.equal(t["__side"], 0)).select(lcols).to_pandas()
         rg = t.filter(pc.equal(t["__side"], 1)).select(rcols).to_pandas()
         if lg.empty:
@@ -410,7 +420,10 @@ def asof_join(
             out = out[out[right_on].notna()]
         return out
 
-    return tagged.groupby("__bucket").map_groups(_merge, batch_format="pyarrow")
+    # raw-task exchange keyed on the unified by-value column (the
+    # sort-groupby variant paid ~2s of width-independent coordination
+    # per call); n_buckets kept in the signature for API compat
+    return exchange_apply(tagged, "__asof_key", _merge, arrow_fn=True)
 
 
 def range_lookup(
