@@ -292,17 +292,10 @@ def hash_join(
         right.map_batches(_pad(1, rname), batch_format="pyarrow")
     )
 
-    # co-group by a HASH BUCKET of the key (N_BUCKETS shuffle groups),
-    # then ONE vectorized pandas merge per bucket — not one task per
-    # distinct key value. Blocks stay Arrow until the per-side split so
-    # the null padding never degrades dtypes.
-    def add_bucket(t: pa.Table) -> pa.Table:
-        kdf = t.select(keys).to_pandas()
-        b = (
-            pd.util.hash_pandas_object(kdf, index=False).to_numpy() % N_BUCKETS_DEFAULT
-        ).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
-
+    # co-group via the raw-task exchange keyed on the (shared-name) join
+    # columns, then ONE vectorized pandas merge per partition — not one
+    # task per distinct key value. Blocks stay Arrow until the per-side
+    # split so the null padding never degrades dtypes (arrow_fn mode).
     def _merge(t: pa.Table) -> pd.DataFrame:
         import pyarrow.compute as pc
 
@@ -310,11 +303,7 @@ def hash_join(
         rg = t.filter(pc.equal(t["__side"], 1)).select(rcols).to_pandas()
         return lg.merge(rg, on=keys, how=how)
 
-    return (
-        tagged.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(_merge, batch_format="pyarrow")
-    )
+    return exchange_apply(tagged, keys, _merge, arrow_fn=True)
 
 
 def strip_schema_metadata(ds: rd.Dataset) -> rd.Dataset:
