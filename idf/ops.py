@@ -57,14 +57,6 @@ def set_graph_polars_sort(ds: rd.Dataset, polars_sort: bool) -> None:
 N_BUCKETS_DEFAULT = 512
 
 
-def _bucket_of(col: pd.Series, n_buckets: int) -> np.ndarray:
-    """Deterministic hash bucket per key (stable across processes —
-    pandas' fixed-key siphash)."""
-    return (pd.util.hash_pandas_object(col, index=False).to_numpy() % n_buckets).astype(
-        np.int64
-    )
-
-
 def exchange_apply(
     ds: rd.Dataset,
     key: str | list[str],
