@@ -79,13 +79,23 @@ def exchange_apply(
     brief: Ray Data's only keyed exchange is its sort, whose fixed
     coordination (~2-3s/job on this box) dominates small-to-mid
     shuffles. Partitioning is CONTENT-keyed (siphash of the key
-    columns), so outputs are invariant to block layout. Size
-    ``n_parts`` so one partition (total_bytes / n_parts) fits a worker
-    heap — the same bound Ray Data's map_groups already imposes on a
-    sorted group run. Skewed keys cost one oversized partition, exactly
-    like one oversized bucket."""
+    columns), so outputs are invariant to block layout. When ``n_parts``
+    is not given it is sized from the MATERIALIZED input bytes so one
+    partition stays under ~256 MB of worker heap (the bound Ray Data's
+    map_groups imposes on a sorted group run too), with a floor of two
+    partitions per CPU. Skewed keys cost one oversized partition,
+    exactly like one oversized bucket."""
     keys = [key] if isinstance(key, str) else list(key)
-    n_parts = int(n_parts or min(64, max(8, available_cpus() * 2)))
+    mat = ds.materialize()
+    if n_parts is None:
+        target_partition_bytes = 256 << 20
+        size = mat.size_bytes() or 0
+        n_parts = max(
+            8,
+            available_cpus() * 2,
+            int(size // target_partition_bytes) + 1,
+        )
+    n_parts = int(n_parts)
 
     @ray.remote
     def _split(tbl: pa.Table):
@@ -124,7 +134,7 @@ def exchange_apply(
             return out
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    refs = ds.to_arrow_refs()
+    refs = mat.to_arrow_refs()
     if not refs:
         empty_in = pa.table({})  # no blocks at all: schema-less empty
         out = bucket_fn(pd.DataFrame())
