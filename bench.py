@@ -86,6 +86,12 @@ def run_bench() -> dict:
     substring_dup_spans(docs, min_len=30).count()
     queries["doc_substring_spans"] = round(time.time() - t0, 3)
 
+    from idf.functions.text_dedup import dedup_docs_map
+
+    t0 = time.time()
+    dedup_docs_map(docs, tau=0.8).count()
+    queries["doc_dedup_map"] = round(time.time() - t0, 3)
+
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     t0 = time.time()
     cosine_topk(emb, list(range(64)), k=10).count()
