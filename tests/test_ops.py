@@ -245,3 +245,27 @@ def test_exchange_apply_matches_sort_path(ray_session, rng):
     pd.testing.assert_frame_equal(got_sort, got_exch)
     want = df.groupby("k")["v"].sum().reset_index(name="s")
     pd.testing.assert_frame_equal(got_exch, want, check_dtype=False)
+
+
+def test_exchange_apply_hot_key_skew(ray_session, rng):
+    """A single hot key (60% of rows) lands wholly in one partition and
+    still aggregates exactly — the skew contract of the exchange."""
+    n = 30_000
+    k = rng.integers(0, 500, n)
+    k[: int(n * 0.6)] = 7  # hot key
+    df = pd.DataFrame({"k": k, "v": np.ones(n, dtype=np.int64)})
+    from idf.ops import exchange_apply
+
+    got = (
+        exchange_apply(
+            rd.from_pandas(df),
+            "k",
+            lambda g: g.groupby("k", sort=False)["v"].sum().reset_index(name="s"),
+            n_parts=16,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = df.groupby("k")["v"].sum().reset_index(name="s")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
