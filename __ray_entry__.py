@@ -221,6 +221,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return count_by(joined, "c_nationkey", alias="n_orders")
 
+    def supplier_top_per_nation(sf):
+        sup = rd.read_parquet(
+            os.path.join(sf, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+        )
+        ranked = elect_top1(
+            sup, "s_nationkey", ["s_acctbal", "s_suppkey"], [False, True]
+        )
+        return ranked.filter(expr="__rank == 0").select_columns(
+            ["s_nationkey", "s_suppkey", "s_acctbal"]
+        )
+
     def events_by_type(sf):
         ev = rd.read_parquet(os.path.join(sf, "events.parquet"), columns=["event_type"])
         return count_by(ev, "event_type", alias="n")
@@ -356,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top1_per_cust": orders_top1_per_cust,
         "orders_min_group_size": orders_min_group_size,
         "cust_orders_by_nation": cust_orders_by_nation,
+        "supplier_top_per_nation": supplier_top_per_nation,
         "events_by_type": events_by_type,
         "events_window_agg": events_window_agg,
         "events_sessions": events_sessions,
@@ -785,6 +798,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey
         """,
         "events_by_type": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "supplier_top_per_nation": """
+            SELECT s_nationkey, s_suppkey, s_acctbal FROM (
+              SELECT s_nationkey, s_suppkey, s_acctbal,
+                     row_number() OVER (PARTITION BY s_nationkey
+                                        ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+              FROM supplier
+            ) WHERE rn = 1
+        """,
         # exact integer-cents sums (see idf/functions/relational.py:
         # plain sum(double) is summation-order-dependent and flakes the
         # %.17g value hash; inputs verified free of .5 rounding ties)
