@@ -339,7 +339,11 @@ def ivf_pairs(
             return t.append_column("cell", pa.array([], pa.int64()))
         m = _normalize(_stack_arrow(t["embedding"]))
         cells = np.argsort(-(m @ c.T), axis=1)[:, :assign_probe]
-        idx = np.tile(np.arange(n, dtype=np.int64), assign_probe)
+        # fewer centroids than assign_probe (tiny training sample,
+        # n_centroids=1): tile by the ACTUAL probe width, else the
+        # append_column gets n*k values for an n*probe table (r2 ADVICE)
+        probe = cells.shape[1]
+        idx = np.tile(np.arange(n, dtype=np.int64), probe)
         out = t.take(pa.array(idx))
         # cells.T.ravel() is probe-major: copy p carries cells[:, p]
         return out.append_column("cell", pa.array(cells.T.ravel().astype(np.int64)))

@@ -511,7 +511,7 @@ def simhash_pairs(docs: rd.Dataset, radius: int = 8) -> rd.Dataset:
 
 
 def substring_dup_positions(
-    docs: rd.Dataset, min_len: int = 30, n_buckets: int | None = None
+    docs: rd.Dataset, min_len: int = 30, n_buckets: int | None = None, verify: bool = True
 ) -> rd.Dataset:
     """Corpus substring dedup (Lee et al. 2021 semantics): every
     (doc_id, pos) whose ``min_len``-char window occurs >= 2 times in
@@ -522,13 +522,21 @@ def substring_dup_positions(
     is hashed as ONE concatenated numpy array —
     idf/kernels/suffix.py: batch_window_hashes) -> shuffle
     (hash, doc_id, pos) bucketed on the window hash -> per-bucket
-    count>=2 filter. The shuffle carries 3 int64s per character of
-    corpus — that is the inherent cost of EXACT substring dedup (the
-    suffix-array approach shuffles comparable volume to sort suffixes);
-    the hash is 64-bit so false collisions are ~n^2/2^65 (pytest
-    cross-checks against the exact suffix-array oracle). Hot boilerplate
-    windows skew only their bucket's OUTPUT size, not the groupby (the
-    shuffle is keyed on 512 hash buckets, not raw window hashes).
+    count>=2 filter -> EXACT window-equality verify. The first shuffle
+    carries 3 int64s per character of corpus — that is the inherent
+    cost of exact substring dedup (the suffix-array approach shuffles
+    comparable volume to sort suffixes). Hot boilerplate windows skew
+    only their bucket's OUTPUT size, not the groupby (the shuffle is
+    keyed on 512 hash buckets, not raw window hashes).
+
+    ``verify=True`` (default) makes the operator EXACT, matching the
+    image pipeline's verified-edge contract: fixed-base polynomial
+    hashing mod 2^64 has structured (not just ~n^2/2^65 random)
+    collisions, so hash-equal candidates are re-grouped on their ACTUAL
+    ``min_len``-char window text and kept only when the same string
+    occurs >= 2 times (r2 ADVICE). The verify pass co-groups the
+    (small) candidate set with the texts per doc_id and shuffles only
+    the candidate windows — not the corpus — on the window string.
     """
     from idf.kernels.suffix import batch_window_hashes
     from idf.ops import bucketed_apply
@@ -538,16 +546,70 @@ def substring_dup_positions(
         di, pos, h = batch_window_hashes(list(df["text"].fillna("")), min_len)
         return pd.DataFrame({"h": h.view(np.int64), "doc_id": ids[di], "pos": pos})
 
-    rows = docs.select_columns(["doc_id", "text"]).map_batches(
-        _windows, batch_format="pandas"
-    )
+    texts = docs.select_columns(["doc_id", "text"])
+    rows = texts.map_batches(_windows, batch_format="pandas")
 
     def _dups(g: pd.DataFrame) -> pd.DataFrame:
         keep = g.groupby("h", sort=False)["h"].transform("size") >= 2
         return g.loc[keep, ["doc_id", "pos"]]
 
     kwargs = {} if n_buckets is None else {"n_buckets": n_buckets}
-    return bucketed_apply(rows, "h", _dups, **kwargs)
+    cand = bucketed_apply(rows, "h", _dups, **kwargs)
+    if not verify:
+        return cand
+
+    # verify pass 1: attach each candidate's actual window text via a
+    # doc_id co-group (texts stream through ONE more exchange; the full
+    # text never duplicates per position as a join would duplicate it)
+    tagged_c = cand.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": t["pos"],
+                "text": pa.nulls(len(t), pa.string()),
+                "__side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tagged_t = texts.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pos": pa.nulls(len(t), pa.int64()),
+                "text": t["text"],
+                "__side": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _attach(t: pa.Table) -> pa.Table:
+        # arrow_fn: 'pos' is null-padded int64 on the text side — filter
+        # sides in Arrow first (pandas would promote pos to float64)
+        import pyarrow.compute as pc
+
+        ct = t.filter(pc.equal(t["__side"], 0))
+        dt = t.filter(pc.equal(t["__side"], 1))
+        text_of = dict(zip(dt["doc_id"].to_pylist(), dt["text"].to_pylist()))
+        ids = ct["doc_id"].to_pylist()
+        poss = ct["pos"].to_pylist()
+        # python loop over the CANDIDATE minority only (the corpus-scale
+        # window hashing above is fully vectorized)
+        wins = [(text_of.get(i) or "")[p : p + min_len] for i, p in zip(ids, poss)]
+        return pa.table(
+            {"doc_id": ct["doc_id"], "pos": ct["pos"], "win": pa.array(wins, pa.string())}
+        )
+
+    winds = bucketed_apply(tagged_c.union(tagged_t), "doc_id", _attach, arrow_fn=True, **kwargs)
+
+    # verify pass 2: group on the ACTUAL window string; a hash collision
+    # between two different strings now splits into singletons and drops
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("win", sort=False)["win"].transform("size") >= 2
+        return g.loc[keep, ["doc_id", "pos"]]
+
+    return bucketed_apply(winds, "win", _verify, **kwargs)
 
 
 def substring_dup_spans(
@@ -693,20 +755,25 @@ def dedup_docs_map(
         batch_format="pyarrow",
     )
 
-    def _join(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["__side"].to_numpy()
-        lg = g[side == 0]
-        rg = g[side == 1].sort_values("doc_id")
-        x = lg["doc_id"].to_numpy(dtype=np.int64)
+    def _join(t: pa.Table) -> pa.Table:
+        # ARROW in (arrow_fn=True): 'canon' is null-padded on side 0 —
+        # a whole-partition pandas conversion would promote it to
+        # float64 and round canon ids above 2^53 (r2 ADVICE, high).
+        # Per-side Arrow filter first, then exact int64 searchsorted.
+        import pyarrow.compute as pc
+
+        lt = t.filter(pc.equal(t["__side"], 0))
+        rt = t.filter(pc.equal(t["__side"], 1)).sort_by("doc_id")
+        x = lt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         canon = x.copy()
-        rp = rg["doc_id"].to_numpy(dtype=np.int64)
+        rp = rt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(rp):
-            rl = rg["canon"].to_numpy(dtype=np.int64)
+            rl = rt["canon"].to_numpy(zero_copy_only=False).astype(np.int64)
             pos = np.clip(np.searchsorted(rp, x), 0, len(rp) - 1)
             hit = rp[pos] == x
             canon[hit] = rl[pos[hit]]
-        return pd.DataFrame({"doc_id": x, "canon_id": canon})
+        return pa.table({"doc_id": pa.array(x), "canon_id": pa.array(canon)})
 
     from idf.ops import bucketed_apply
 
-    return bucketed_apply(tagged_docs.union(labels), "doc_id", _join)
+    return bucketed_apply(tagged_docs.union(labels), "doc_id", _join, arrow_fn=True)

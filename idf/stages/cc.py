@@ -309,23 +309,31 @@ def components_phash_labelprop(
         batch_format="pyarrow",
     )
 
-    def _member_key(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["__side"].to_numpy()
-        lg = g[side == 0]
-        rg = g[side == 1].sort_values("phash")
-        x = lg["phash"].to_numpy(dtype=np.int64)
+    def _member_key(t: pa.Table) -> pa.Table:
+        # ARROW in (arrow_fn=True): the tagged union carries per-side
+        # null padding ('label' null on side 0, 'image_id' on side 1);
+        # a whole-partition pandas conversion would promote the int64
+        # label column to float64 and round full-64-bit phash-valued
+        # labels above 2^53 — distinct components whose rounded labels
+        # collide would silently merge (r2 ADVICE, high). Filter each
+        # side in Arrow FIRST so every slice converts with true dtypes.
+        import pyarrow.compute as pc
+
+        lt = t.filter(pc.equal(t["__side"], 0))
+        rt = t.filter(pc.equal(t["__side"], 1)).sort_by("phash")
+        x = lt["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
         key = x.copy()
-        rp = rg["phash"].to_numpy(dtype=np.int64)
+        rp = rt["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(rp):
-            rl = rg["label"].to_numpy(dtype=np.int64)
+            rl = rt["label"].to_numpy(zero_copy_only=False).astype(np.int64)
             pos = np.clip(np.searchsorted(rp, x), 0, len(rp) - 1)
             hit = rp[pos] == x
             key[hit] = rl[pos[hit]]
-        return pd.DataFrame({"image_id": lg["image_id"].to_numpy(), "__key": key})
+        return pa.table({"image_id": lt["image_id"], "__key": pa.array(key)})
 
     from idf.ops import bucketed_apply, bucketed_group_apply
 
-    keyed = bucketed_apply(hashes.union(labels), "phash", _member_key)
+    keyed = bucketed_apply(hashes.union(labels), "phash", _member_key, arrow_fn=True)
 
     def _emit(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

@@ -100,3 +100,141 @@ def test_plan_distributed_path(ray_session):
     )
     assert got.loc["b", "action"] == "KEEP" and got.loc["a", "action"] == "DELETE"
     assert got.loc["d", "action"] == "KEEP" and got.loc["e", "action"] == "DELETE"
+
+
+def test_arrow_fn_int64_above_2pow53(ray_session):
+    """arrow_fn=True hands bucketed_apply's fn the Arrow partition so
+    null-padded int64 columns never round through float64 (r2 ADVICE
+    high: labels 2^60+1 and 2^60+2 both round to 2^60 in float64)."""
+    import pyarrow.compute as pc
+
+    from idf.ops import bucketed_apply
+
+    base = 1 << 60
+    left = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "label": pa.nulls(2, pa.int64()),
+            "__side": pa.array([0, 0], pa.int8()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "label": pa.array([base + 1, base + 2], pa.int64()),
+            "__side": pa.array([1, 1], pa.int8()),
+        }
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        rt = t.filter(pc.equal(t["__side"], 1))
+        return pa.table({"k": rt["k"], "label": rt["label"]})
+
+    for exchange in (None, False, True):
+        got = (
+            bucketed_apply(
+                rd.from_arrow(left).union(rd.from_arrow(right)),
+                "k",
+                fn,
+                arrow_fn=True,
+                exchange=exchange,
+            )
+            .to_pandas()
+            .sort_values("k")
+        )
+        assert list(got["label"]) == [base + 1, base + 2], exchange
+        assert got["label"].dtype == np.int64
+
+
+def test_labelprop_distinct_huge_labels_stay_distinct(ray_session, tmp_path):
+    """Two components whose min-phash labels differ only below float64
+    precision must NOT merge in the labelprop scale path (r2 ADVICE)."""
+    import pyarrow.parquet as pq
+
+    from idf.stages.cc import components_phash_labelprop
+
+    base = 1 << 60
+    # component A: phashes {base+1, base+2561}; B: {base+2, base+5121}
+    edges_dir = tmp_path / "edges"
+    hashes_dir = tmp_path / "hashes"
+    edges_dir.mkdir()
+    hashes_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "phash_a": pa.array([base + 1, base + 2], pa.int64()),
+                "phash_b": pa.array([base + 2561, base + 5121], pa.int64()),
+            }
+        ),
+        edges_dir / "e.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": ["a", "b", "c", "d"],
+                "phash": pa.array([base + 1, base + 2561, base + 2, base + 5121], pa.int64()),
+                "status": ["ok"] * 4,
+            }
+        ),
+        hashes_dir / "h.parquet",
+    )
+    got = components_phash_labelprop([str(edges_dir)], str(hashes_dir)).to_pandas()
+    clusters = {}
+    for r in got.itertuples(index=False):
+        clusters.setdefault(r.cluster_id, set()).add(r.image_id)
+    assert sorted(map(sorted, clusters.values())) == [["a", "b"], ["c", "d"]]
+
+
+def test_exchange_size_gate_falls_back_to_sort(ray_session, monkeypatch):
+    """bucketed_apply(exchange=None) above IDF_EXCHANGE_MAX_BYTES must
+    run the streaming sort engine, with identical output (r2 verdict
+    'what's wrong #1')."""
+    import idf.ops as ops
+
+    df = pd.DataFrame({"k": np.arange(1000) % 7, "v": np.arange(1000)})
+    fn = lambda g: g.groupby("k", as_index=False)["v"].sum()
+
+    def run():
+        return (
+            ops.bucketed_apply(rd.from_pandas(df), "k", fn)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    want = run()
+    before = dict(ops.EXCHANGE_STATS)
+    monkeypatch.setenv("IDF_EXCHANGE_MAX_BYTES", "1")
+    got = run()
+    monkeypatch.delenv("IDF_EXCHANGE_MAX_BYTES")
+    after = dict(ops.EXCHANGE_STATS)
+    pd.testing.assert_frame_equal(got, want)
+    # the gated run took a sort path (metadata-known -> "sort",
+    # unknown-size plan -> post-materialize "sort_fallback")
+    assert (after["sort"] + after["sort_fallback"]) > (
+        before["sort"] + before["sort_fallback"]
+    )
+
+
+def test_dedup_docs_map_scale_path_huge_doc_ids(ray_session):
+    """dedup_docs_map's distributed path must keep canon ids exact for
+    doc_ids above 2^53 (the float64-rounding regime)."""
+    from idf.functions.text_dedup import dedup_docs_map
+
+    base = 1 << 60
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([base + 1, base + 2, base + 513, base + 514], dtype=np.int64),
+            "text": [text, text, "something else entirely unrelated here", text],
+        }
+    )
+    got = (
+        dedup_docs_map(rd.from_pandas(docs), tau=0.8, driver_max_edges=0)
+        .to_pandas()
+        .set_index("doc_id")["canon_id"]
+    )
+    assert got.loc[base + 1] == base + 1
+    assert got.loc[base + 2] == base + 1
+    assert got.loc[base + 514] == base + 1
+    assert got.loc[base + 513] == base + 513
