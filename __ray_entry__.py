@@ -212,6 +212,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
         )
         orders = rd.read_parquet(os.path.join(sf, "orders.parquet"), columns=["o_custkey"])
+        # customer is the SMALL side (150k rows/sf): broadcast the
+        # custkey->nationkey map once instead of an all-to-all hash_join
+        # (r2 verdict #6). count() here is parquet-metadata-only; past
+        # the guard (cluster-scale customer) fall back to the co-group.
+        if cust.count() <= 2_000_000:
+            from idf.ops import broadcast_lookup
+
+            m = dict(
+                zip(*(cust.to_pandas()[c] for c in ("c_custkey", "c_nationkey")))
+            )
+            looked = broadcast_lookup(orders, "o_custkey", m, "c_nationkey")
+            inner = looked.map_batches(
+                lambda df: df[df["c_nationkey"].notna()].astype({"c_nationkey": "int64"}),
+                batch_format="pandas",
+            )
+            return count_by(inner, "c_nationkey", alias="n_orders")
         joined = hash_join(
             orders.map_batches(
                 lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
@@ -292,7 +308,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def lineitem_pricing_summary(sf):
         from idf.functions.relational import pricing_summary
 
-        li = rd.read_parquet(os.path.join(sf, "lineitem.parquet"))
+        # explicit column prune at the READ (r2 verdict #9) — only the
+        # seven summary inputs leave storage
+        li = rd.read_parquet(
+            os.path.join(sf, "lineitem.parquet"),
+            columns=[
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_shipdate",
+            ],
+        )
         return pricing_summary(li)
 
     # -- web-surface ops (S9/S10, app/WebServer.java) over engine output.
@@ -304,35 +333,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         plan = _stage(sf, "plan")
 
         def _updates(t):
+            # derive AND filter the overrides inside the batch (r2
+            # verdict #5: no driver-side pandas over the whole plan);
+            # only ids hitting the md5 rule get overrides, the rest keep
+            # their plan action (tests the passthrough path too)
             import hashlib
 
             import pyarrow as pa
 
-            acts = []
+            ids, acts = [], []
             for i in t["image_id"].to_pylist():
                 c = hashlib.md5(i.encode()).hexdigest()[-1]
+                if c not in "01234567":
+                    continue
                 # mix of valid/messy/bogus actions exercises savePlan's
                 # normalization (WebServer.java:340-344)
+                ids.append(i)
                 acts.append(
                     "Delete" if c in "0123" else (" keep " if c in "45" else "bogus")
                 )
-            return pa.table({"image_id": t["image_id"], "action": pa.array(acts)})
+            return pa.table(
+                {"image_id": pa.array(ids, pa.string()), "action": pa.array(acts, pa.string())}
+            )
 
         updates = plan.select_columns(["image_id"]).map_batches(
             _updates, batch_format="pyarrow"
-        ).to_pandas()
-        # only ids hitting the md5 rule get overrides; the rest keep
-        # their plan action (tests the passthrough path too)
-        updates = updates[
-            updates["image_id"].map(
-                lambda i: __import__("hashlib").md5(i.encode()).hexdigest()[-1] in "01234567"
-            )
-        ]
+        )
         return rewrite_plan(plan, updates)
 
     def img_fetch(sf):
-        import hashlib
-
         from idf.stages.web import fetch_images_digest
         from idf.synth import CACHE_TAG, sf_from_dir
 
@@ -340,15 +369,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"/tmp/idf_cache/images_{CACHE_TAG}_sf{sf_from_dir(sf)}",
             columns=["image_id", "bytes", "fmt"],
         )
-        ids = [
-            i
-            for b in images.select_columns(["image_id"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"
-            )
-            for i in b["image_id"].to_pylist()
-            if hashlib.md5(i.encode()).hexdigest()[-1] == "0"
-        ]
-        return fetch_images_digest(images, ids)
+
+        def _rule(t):
+            # the md5-rule id selection runs INSIDE the batch (r2
+            # verdict #5: no driver iter_rows scan of the corpus)
+            import hashlib
+
+            import pyarrow as pa
+
+            keep = [
+                hashlib.md5(i.encode()).hexdigest()[-1] == "0"
+                for i in t["image_id"].to_pylist()
+            ]
+            return t.filter(pa.array(keep))
+
+        page = images.map_batches(_rule, batch_format="pyarrow")
+        return fetch_images_digest(page)
 
     # -- text analysis / dedup over documents
     q = {

@@ -169,6 +169,20 @@ def exchange_apply(
             t = max(parts, key=lambda p: p.num_columns)
             if t.num_columns == 0:
                 return t  # every input block was schema-less empty
+            # EMPTY partition (n_parts > occupied partitions — a tiny
+            # stage on a big cluster): every bucket_fn here is a
+            # filter/grouper/joiner for which empty-in -> empty-out is
+            # the correct answer, but not all fns tolerate an empty
+            # frame (schema probes like g.iloc[0] raise). Give the fn a
+            # chance to emit its typed empty schema; fall back to a
+            # zero-column empty block, which Ray drops on concat.
+            try:
+                out = bucket_fn(t if arrow_fn else t.to_pandas())
+            except Exception:
+                return t.select([])
+            if isinstance(out, pa.Table):
+                return out
+            return pa.Table.from_pandas(out, preserve_index=False)
         # arrow_fn: hand bucket_fn the Arrow table — REQUIRED when any
         # column holds per-side null padding (a whole-partition pandas
         # conversion would promote null-bearing int64 to float64,

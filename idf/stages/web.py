@@ -79,15 +79,22 @@ def media_type_for(fmt) -> str:
     return MEDIA_TYPES.get(("" if fmt is None else str(fmt)).strip().lower(), DEFAULT_MEDIA_TYPE)
 
 
-def fetch_images(images: rd.Dataset, ids) -> rd.Dataset:
+def fetch_images(images: rd.Dataset, ids=None) -> rd.Dataset:
     """(image_id, media_type, n_bytes, bytes) for a requested id set
     (S10). The id set is the small side (a UI page of thumbnails):
-    broadcast semi-join, then a zero-copy projection — image bytes are
-    read only for the filtered rows thanks to parquet predicate-free
-    late materialization staying within the filtered blocks."""
+    broadcast semi-join, then a zero-copy projection. ``ids=None``
+    serves every row of ``images`` — callers that can express the id
+    set as a batch predicate should pre-filter the dataset and pass
+    None, keeping the selection fully distributed.
+
+    Note the semi-join filters AFTER the bytes column is read; at scale
+    the right move is pushing the id filter into the read itself
+    (parquet row-group stats over a sorted id layout, or an
+    id-partitioned directory scheme) — see r2 verdict 'what's wrong #6'.
+    """
     from idf.ops import broadcast_semi_join
 
-    hits = broadcast_semi_join(images, "image_id", set(ids))
+    hits = images if ids is None else broadcast_semi_join(images, "image_id", set(ids))
 
     def _project(t: pa.Table) -> pa.Table:
         fmts = t["fmt"].to_pylist() if "fmt" in t.schema.names else [None] * len(t)
@@ -104,7 +111,7 @@ def fetch_images(images: rd.Dataset, ids) -> rd.Dataset:
     return hits.map_batches(_project, batch_format="pyarrow")
 
 
-def fetch_images_digest(images: rd.Dataset, ids) -> rd.Dataset:
+def fetch_images_digest(images: rd.Dataset, ids=None) -> rd.Dataset:
     """Driver-checkable projection of ``fetch_images``: md5 of the
     UPPERCASE-HEX payload instead of raw bytes (binary columns don't
     survive every comparator; DuckDB has no md5(BLOB), but

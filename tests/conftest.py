@@ -4,9 +4,14 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="session", autouse=True)
 def ray_session():
-    """One Ray session for the whole pytest run (per task instructions)."""
+    """One Ray session for the whole pytest run (per task instructions).
+
+    autouse: a test module that builds a Dataset WITHOUT requesting this
+    fixture would otherwise let Ray Data auto-init with every host CPU,
+    and the whole session (ignore_reinit_error) would inherit that — the
+    r3 order-dependent test_web/test_ops failure."""
     import ray
 
     ray.init(
