@@ -421,15 +421,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": lambda sf: quality_components(_docs(sf)),
         "doc_exact_dedup": lambda sf: exact_dedup_docs(_docs(sf)),
         "doc_fingerprint": lambda sf: fingerprint_md5(_docs(sf)),
+        # ngram pairs: output is hash-family-INVARIANT (exact Jaccard
+        # over shingle sets), so it runs the vectorized "fast" family
+        # and still hash-matches the md5-based SQL oracle
         "doc_ngram_pairs": lambda sf: ngram_jaccard_pairs(_docs(sf), tau=0.6),
-        "doc_dedup_map": lambda sf: dedup_docs_map(_docs(sf), tau=0.8),
-        "doc_minhash_pairs": lambda sf: minhash_lsh_pairs(_docs(sf), tau=0.8).select_columns(
-            ["doc_id_a", "doc_id_b"]
-        ),
-        "doc_simhash": lambda sf: simhash_docs(_docs(sf)),
-        "doc_simhash_pairs": lambda sf: simhash_pairs(_docs(sf), radius=8).select_columns(
-            ["doc_id_a", "doc_id_b"]
-        ),
+        # minhash/simhash queries pin hash_mode="md5": their oracle SQL
+        # replicates the md5 signature chain value-for-value; the
+        # vectorized "fast" family is the library default (r2 verdict
+        # #3) and is parity-tested against md5 in pytest
+        "doc_dedup_map": lambda sf: dedup_docs_map(_docs(sf), tau=0.8, hash_mode="md5"),
+        "doc_minhash_pairs": lambda sf: minhash_lsh_pairs(
+            _docs(sf), tau=0.8, hash_mode="md5"
+        ).select_columns(["doc_id_a", "doc_id_b"]),
+        "doc_simhash": lambda sf: simhash_docs(_docs(sf), hash_mode="md5"),
+        "doc_simhash_pairs": lambda sf: simhash_pairs(
+            _docs(sf), radius=8, hash_mode="md5"
+        ).select_columns(["doc_id_a", "doc_id_b"]),
         "doc_lang_id": lambda sf: lang_id(_docs(sf)),
         "doc_winnow_fp": lambda sf: winnow_fingerprints(_docs(sf)),
         "doc_substring_dups": lambda sf: substring_dup_positions(_docs(sf), min_len=30),

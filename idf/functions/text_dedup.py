@@ -23,7 +23,14 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from idf.kernels.minhash import MinHasher, band_keys, md5_low64, shingle_hashes
+from idf.kernels.minhash import (
+    MinHasher,
+    band_keys,
+    default_text_hash_mode,
+    fast_token_hashes,
+    md5_low64,
+    shingle_hashes,
+)
 from idf.ops import available_cpus, exact_dedup, hash_join
 
 
@@ -36,18 +43,17 @@ def exact_dedup_docs(docs: rd.Dataset) -> rd.Dataset:
 # exact n-gram Jaccard pairs
 
 
-def _shingle_rows(df: pd.DataFrame, k: int) -> pd.DataFrame:
-    ids, sh = [], []
-    for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-        # short="drop": docs with <k tokens emit NO shingles, matching
-        # the SQL trigram oracle exactly (ADVICE r1)
-        hs = shingle_hashes(text, k, short="drop")
-        ids.extend([doc_id] * len(hs))
-        sh.append(hs)
+def _shingle_rows(df: pd.DataFrame, k: int, mode: str = "md5") -> pd.DataFrame:
+    # short="drop": docs with <k tokens emit NO shingles, matching
+    # the SQL trigram oracle exactly (ADVICE r1). The whole batch is
+    # hashed in one vectorized kernel call (r2 verdict #3).
+    from idf.kernels.minhash import shingle_hash_concat
+
+    h, counts = shingle_hash_concat(list(df["text"].fillna("")), k, short="drop", mode=mode)
     return pd.DataFrame(
         {
-            "doc_id": np.array(ids, dtype=np.int64),
-            "shingle": np.concatenate(sh).view(np.int64) if sh else np.array([], dtype=np.int64),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), counts),
+            "shingle": h.view(np.int64),
         }
     )
 
@@ -59,6 +65,7 @@ def ngram_jaccard_pairs(
     hot_cap: int = 2000,
     broadcast_max_docs: int = 2_000_000,
     driver_agg_max_partials: int = 2_500_000,
+    hash_mode: str | None = None,
 ) -> rd.Dataset:
     """EXACT all near-dup pairs with word-k-gram Jaccard >= tau.
 
@@ -86,8 +93,12 @@ def ngram_jaccard_pairs(
 
     # two consumers (pair counts + sizes): materialize the small
     # (doc_id:int64, shingle:int64) projection once
+    # hash_mode: Jaccard over shingle-hash SETS is family-invariant
+    # (collision-free), so pairs output is identical across modes; the
+    # md5 mode exists for the DuckDB oracle replica (r2 verdict #3)
+    mode = default_text_hash_mode() if hash_mode is None else hash_mode
     shingles = docs.map_batches(
-        lambda df: _shingle_rows(df, k), batch_format="pandas"
+        lambda df: _shingle_rows(df, k, mode), batch_format="pandas"
     ).materialize()
 
     def _bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
@@ -249,6 +260,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     seed: int = 42,
     broadcast_max_cands: int = 2_500_000,
+    hash_mode: str | None = None,
 ) -> rd.Dataset:
     """Candidate pairs from MinHash banding, verified with EXACT Jaccard,
     so precision is exact; recall is the standard LSH s-curve.
@@ -261,12 +273,18 @@ def minhash_lsh_pairs(
     100 TB the text therefore crosses the wire once (the join), not
     ``bands``x through the LSH groupby."""
 
+    # shingle-hash family: candidates differ between families, but the
+    # exact-Jaccard verify makes the pairs output family-invariant up
+    # to LSH recall on threshold-edge pairs (parity pinned in pytest);
+    # "md5" is required for the DuckDB oracle replica (r2 verdict #3)
+    mode = default_text_hash_mode() if hash_mode is None else hash_mode
+
     class Bander:
         def __init__(self):
             self.mh = MinHasher(num_perm, seed)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sigs = self.mh.signatures(list(df["text"].fillna("")), k)
+            sigs = self.mh.signatures(list(df["text"].fillna("")), k, mode=mode)
             keys = band_keys(sigs, bands)
             n, b = keys.shape
             return pd.DataFrame(
@@ -338,7 +356,7 @@ def minhash_lsh_pairs(
                 s = cache.get(doc_id)
                 if s is None:
                     t = texts.get(doc_id)
-                    s = set(shingle_hashes("" if t is None else t, k).tolist())
+                    s = set(shingle_hashes("" if t is None else t, k, mode=mode).tolist())
                     cache[doc_id] = s
                 return s
 
@@ -386,7 +404,7 @@ def minhash_lsh_pairs(
         def sset(doc_id: int, text) -> set:
             s = cache.get(doc_id)
             if s is None:
-                s = set(shingle_hashes("" if text is None else text, k).tolist())
+                s = set(shingle_hashes("" if text is None else text, k, mode=mode).tolist())
                 cache[doc_id] = s
             return s
 
@@ -415,38 +433,54 @@ def minhash_lsh_pairs(
 # SimHash
 
 
-def simhash64_batch(texts: list[str]) -> np.ndarray:
+def simhash64_batch(texts: list[str], mode: str = "md5") -> np.ndarray:
     """64-bit SimHash over word features (public Charikar construction):
     sign-sum of per-token 64-bit hashes, tf-weighted.
 
-    Token hash = md5 low 64 bits (``kernels.minhash.md5_low64``), which
-    DuckDB reproduces as ``md5_number_lower`` — so ``simhash_docs`` has
-    a full SQL oracle. Vectorized per BATCH: one
-    (total_unique_tokens, 64) bit-unpack and one segment-sum; token
-    hashes are memoized across the batch (the only per-token python is
-    the md5 call on first sight)."""
+    mode="md5": token hash = md5 low 64 bits
+    (``kernels.minhash.md5_low64``), which DuckDB reproduces as
+    ``md5_number_lower`` — so ``simhash_docs`` has a full SQL oracle.
+    mode="fast": one vectorized siphash pass over the batch's unique
+    tokens (``fast_token_hashes``) — the corpus-scale family (NOTE:
+    unlike the verified pair ops, simhash VALUES are family-specific by
+    definition). Either way the batch is vectorized: one
+    (total_unique_tokens, 64) bit-unpack and one segment-sum."""
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
     if not n:
         return out
-    doc_idx, tok_hash, tok_w = [], [], []
-    cache: dict[str, int] = {}
+    doc_idx, toks, tok_w = [], [], []
     from collections import Counter
 
     for i, text in enumerate(texts):
         cnt = Counter(text.lower().split())
         for t, w in cnt.items():
-            h = cache.get(t)
-            if h is None:
-                h = md5_low64(t)
-                cache[t] = h
             doc_idx.append(i)
-            tok_hash.append(h)
+            toks.append(t)
             tok_w.append(w)
     if not doc_idx:
         return out
     idx = np.asarray(doc_idx, dtype=np.int64)
-    hs = np.asarray(tok_hash, dtype=np.uint64)
+    if mode == "md5":
+        cache: dict[str, int] = {}
+
+        def _h(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = md5_low64(t)
+                cache[t] = v
+            return v
+
+        hs = np.fromiter((_h(t) for t in toks), dtype=np.uint64, count=len(toks))
+    else:
+        # one vectorized siphash pass (categorize=True hashes only the
+        # vocabulary). NOTE: on the synthetic corpus the md5 branch's
+        # per-batch memoization already reduces md5 calls to the (tiny)
+        # vocabulary, so the measured gap is small there; on a real
+        # open-vocabulary corpus the md5 path degrades to one Python
+        # digest per distinct token per batch while this stays one C
+        # pass (BENCH/text_hash_modes.json).
+        hs = fast_token_hashes(toks)
     w = np.asarray(tok_w, dtype=np.int64)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(bool)
     signed = np.where(bits, w[:, None], -w[:, None])  # (rows, 64)
@@ -460,17 +494,20 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     return out
 
 
-def simhash_docs(docs: rd.Dataset) -> rd.Dataset:
+def simhash_docs(docs: rd.Dataset, hash_mode: str | None = None) -> rd.Dataset:
     """(doc_id, simhash int64 bit-cast)."""
+    mode = default_text_hash_mode() if hash_mode is None else hash_mode
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        h = simhash64_batch(list(df["text"].fillna("")))
+        h = simhash64_batch(list(df["text"].fillna("")), mode=mode)
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64), "simhash": h.view(np.int64)})
 
     return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
-def simhash_pairs(docs: rd.Dataset, radius: int = 8) -> rd.Dataset:
+def simhash_pairs(
+    docs: rd.Dataset, radius: int = 8, hash_mode: str | None = None
+) -> rd.Dataset:
     """Near-dup pairs at simhash Hamming <= radius, via the SAME
     pigeonhole banding stage as the image pipeline (stages/candidates):
     the hashes table just uses doc ids + simhash in the phash column."""
@@ -478,7 +515,7 @@ def simhash_pairs(docs: rd.Dataset, radius: int = 8) -> rd.Dataset:
     from idf.stages.candidates import band_edges
 
     cfg = DedupConfig(radius=radius)
-    hashes = simhash_docs(docs).map_batches(
+    hashes = simhash_docs(docs, hash_mode=hash_mode).map_batches(
         lambda t: pa.table(
             {
                 "id_a": pa.compute.cast(t["doc_id"], pa.string()),
@@ -672,7 +709,10 @@ def substring_dup_spans(
 
 
 def dedup_docs_map(
-    docs: rd.Dataset, tau: float = 0.8, driver_max_edges: int = 5_000_000
+    docs: rd.Dataset,
+    tau: float = 0.8,
+    driver_max_edges: int = 5_000_000,
+    hash_mode: str | None = None,
 ) -> rd.Dataset:
     """End-to-end near-duplicate document dedup: MinHash-LSH candidate
     pairs -> connected components -> (doc_id, canon_id) canonical map
@@ -691,7 +731,7 @@ def dedup_docs_map(
     from idf.ops import get_broadcast
     from idf.stages.cc import _cc_labels, _factorize_sorted, components_labelprop
 
-    pairs = minhash_lsh_pairs(docs, tau=tau)
+    pairs = minhash_lsh_pairs(docs, tau=tau, hash_mode=hash_mode)
     edges = pairs.map_batches(
         lambda t: t.select(["doc_id_a", "doc_id_b"]).replace_schema_metadata(None),
         batch_format="pyarrow",

@@ -396,7 +396,11 @@ class CaptionBander:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         caps = ["" if c is None else c for c in t["caption"].to_pylist()]
-        sigs = self.hasher.signatures(caps, self.shingle_k)
+        # mode="fast": caption-LSH only GENERATES candidates — every
+        # pair is verified with the phash Hamming predicate, so the
+        # cluster partition is hash-family-invariant and the vectorized
+        # family is always safe here (r2 verdict #3)
+        sigs = self.hasher.signatures(caps, self.shingle_k, mode="fast")
         keys = band_keys(sigs, self.bands)
         n, b = keys.shape
         cols = {"key": pa.array(keys.reshape(-1))}
