@@ -39,24 +39,15 @@ def sniff(data: bytes) -> str | None:
 
 
 def decode_jfif_rgb(data) -> np.ndarray:
-    """Real JPEG/JFIF bytes -> RGB uint8 (H, W, 3) via an optional
-    system codec (Pillow). The deployment seam the reference's
-    ImageIO.read covers (core/ImageLoader.java:7-11): this sandbox
-    ships no libjpeg binding, so real-JPEG rows decode when Pillow is
-    installed and become per-row ``skip:decode`` rows otherwise —
-    never a pipeline failure."""
-    try:
-        from PIL import Image  # optional dependency, absent in-sandbox
-    except ImportError as exc:
-        raise DecodeError(
-            "real JPEG/JFIF payload but no JPEG codec is installed "
-            "(pip install Pillow to enable; the sandbox test corpus "
-            "uses the self-contained FJPG container instead)"
-        ) from exc
-    import io
+    """Real JPEG/JFIF bytes -> RGB uint8 (H, W, 3) via the in-repo
+    pure-numpy baseline+progressive decoder (idf/codecs/jfif.py) —
+    covers the reference's primary input format (ImageIO.read,
+    core/ImageLoader.java:7-11; fixture corpus fixtures/*.jpg,
+    validated at PSNR >= 40 dB against the independent PNG decode of
+    the same picture in tests/test_codecs.py)."""
+    from idf.codecs.jfif import decode_jfif
 
-    with Image.open(io.BytesIO(bytes(data))) as img:
-        return np.asarray(img.convert("RGB"))
+    return decode_jfif(data)
 
 
 def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
@@ -94,7 +85,11 @@ def decode_luma(data: bytes, fmt: str | None = None) -> np.ndarray:
         if kind == "jpg":
             return _fjpg.decode_fjpg_luma(data)
         if kind == "jfif":
-            return luma601_u8(decode_jfif_rgb(data))
+            # JFIF's Y channel IS BT.601 luma: decode it directly and
+            # skip the chroma iDCT/upsample entirely
+            from idf.codecs.jfif import decode_jfif_luma
+
+            return decode_jfif_luma(data)
         return luma601_u8(decode_png(data) if kind == "png" else decode_bmp(data))
     except DecodeError:
         raise
@@ -129,7 +124,12 @@ def decode_luma_scaled(
 
             gray = decode_png_luma(data)
         elif kind == "jfif":
-            gray = luma601_u8(decode_jfif_rgb(data))  # no scaled path
+            # k/8 partial-iDCT downscale of the Y component only (same
+            # contract as the FJPG lane; entropy decode is still full-
+            # stream — that is inherent to sequential Huffman coding)
+            from idf.codecs.jfif import decode_jfif_luma_scaled
+
+            return decode_jfif_luma_scaled(data, min_dim)
         else:
             gray = luma601_u8(decode_bmp(data if isinstance(data, bytes) else bytes(data)))
         return gray, gray.shape[0], gray.shape[1]
@@ -147,6 +147,10 @@ def encode(img: np.ndarray, fmt: str, quality: int = 90) -> bytes:
         return encode_bmp(img)
     if f in ("jpg", "jpeg"):
         return encode_fjpg(img, quality=quality)
+    if f == "jfif":  # REAL baseline JPEG bytes (idf/codecs/jfif.py)
+        from idf.codecs.jfif import encode_jfif
+
+        return encode_jfif(img, quality=quality)
     raise ValueError(f"unsupported encode format {fmt!r}")
 
 

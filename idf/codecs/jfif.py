@@ -1,0 +1,814 @@
+"""Pure-numpy baseline + progressive JFIF (real JPEG) decoder.
+
+Closes the engine's last real capability gap vs the reference, whose
+primary input format is real JPEG via ``ImageIO.read``
+(/root/reference/src/main/java/core/ImageLoader.java:7-11, fixture
+corpus /root/reference/fixtures/*.jpg). The sandbox ships no image
+library, so this is a from-scratch implementation of the public ITU
+T.81 decode procedures:
+
+- marker parse: DQT (8/16-bit), DHT, SOF0/SOF1 (baseline sequential),
+  SOF2 (progressive), DRI, SOS, APPn/COM skipped
+- entropy decode: canonical Huffman per T.81 F.16 with an 8-bit
+  fast-peek LUT (the libjpeg trick); byte unstuffing + restart-marker
+  segmentation done ONCE up front with numpy
+- progressive: DC first/refine, AC first/refine with EOB runs (T.81
+  G.2), interleaved and non-interleaved scans
+- back end fully vectorized: dequantize + orthonormal 2D iDCT over ALL
+  blocks at once (one einsum), nearest-neighbor chroma upsample,
+  BT.601 full-range YCbCr->RGB
+
+Entropy decoding is inherently sequential (Python loop over symbols);
+everything after it is numpy. The hash pipeline's hot path keeps the
+FJPG fast lane for synthetic corpora; this decoder serves real-JPEG
+rows and the reference fixture family. The luma/scaled entry points
+iDCT only the Y component (optionally at the k/8 partial-iDCT scale,
+same scheme as fjpg.decode_fjpg_luma_scaled).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+class JfifError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Huffman table (T.81 C.2 canonical code construction + fast 8-bit LUT)
+
+
+class HuffTable:
+    __slots__ = ("lut_sym", "lut_len", "maxcode", "valptr", "mincode", "values")
+
+    def __init__(self, counts: list[int], values: bytes):
+        # canonical codes: lengths 1..16 with counts[l-1] codes each
+        self.values = values
+        code = 0
+        k = 0
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        codes_by_len: list[tuple[int, int, int]] = []  # (length, code, symbol)
+        for length in range(1, 17):
+            self.valptr[length] = k
+            self.mincode[length] = code
+            for _ in range(counts[length - 1]):
+                codes_by_len.append((length, code, values[k]))
+                code += 1
+                k += 1
+            self.maxcode[length] = code - 1
+            code <<= 1
+        # 8-bit fast LUT: any code of length <= 8 resolves in one peek
+        self.lut_sym = np.full(256, -1, dtype=np.int16)
+        self.lut_len = np.zeros(256, dtype=np.int8)
+        for length, c, sym in codes_by_len:
+            if length <= 8:
+                lo = c << (8 - length)
+                hi = lo + (1 << (8 - length))
+                self.lut_sym[lo:hi] = sym
+                self.lut_len[lo:hi] = length
+
+
+# ---------------------------------------------------------------------------
+# bit reader over the unstuffed entropy stream
+
+
+class BitReader:
+    """MSB-first bit reader. ``segments`` is the list of UNSTUFFED
+    entropy byte arrays split at restart markers; ``next_segment()``
+    byte-aligns into the next one (restart semantics)."""
+
+    __slots__ = ("data", "pos", "n", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < self.n:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc = (self.acc << 8) | 0xFF  # pad past end (T.81 F.2.2.5)
+            self.nbits += 8
+
+    def peek(self, k: int) -> int:
+        self._fill(k)
+        return (self.acc >> (self.nbits - k)) & ((1 << k) - 1)
+
+    def skip(self, k: int) -> None:
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
+
+    def receive(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill(k)
+        v = (self.acc >> (self.nbits - k)) & ((1 << k) - 1)
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_bit(self) -> int:
+        return self.receive(1)
+
+
+def _extend(v: int, s: int) -> int:
+    # T.81 F.12: map magnitude bits to signed coefficient
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_sym(br: BitReader, tbl: HuffTable) -> int:
+    look = br.peek(8)
+    length = tbl.lut_len[look]
+    if length:
+        br.skip(int(length))
+        return int(tbl.lut_sym[look])
+    # slow path: codes 9..16 bits (T.81 F.16)
+    code = br.receive(8)
+    for ln in range(9, 17):
+        code = (code << 1) | br.read_bit()
+        if code <= tbl.maxcode[ln]:
+            return tbl.values[tbl.valptr[ln] + code - tbl.mincode[ln]]
+    raise JfifError("bad Huffman code")
+
+
+# ---------------------------------------------------------------------------
+# container parse
+
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "bw", "bh", "coefs", "w", "hgt")
+
+
+def _parse(data) -> dict:
+    data = bytes(data)
+    if data[:2] != b"\xff\xd8":
+        raise JfifError("not a JPEG (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, HuffTable] = {}
+    ac_tables: dict[int, HuffTable] = {}
+    comps: list[_Component] = []
+    frame = None
+    restart_interval = 0
+    scans = []  # (scan_header_dict, entropy_segments)
+    i = 2
+    n = len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if i + 4 > n:
+            break
+        ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + ln]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1 : p + 17])
+                nv = sum(counts)
+                values = seg[p + 17 : p + 17 + nv]
+                (ac_tables if tc else dc_tables)[th] = HuffTable(counts, values)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            frame = {
+                "progressive": marker == 0xC2,
+                "precision": seg[0],
+                "h": struct.unpack(">H", seg[1:3])[0],
+                "w": struct.unpack(">H", seg[3:5])[0],
+            }
+            nc = seg[5]
+            for c in range(nc):
+                comp = _Component()
+                comp.cid = seg[6 + 3 * c]
+                comp.h = seg[7 + 3 * c] >> 4
+                comp.v = seg[7 + 3 * c] & 15
+                comp.tq = seg[8 + 3 * c]
+                comps.append(comp)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JfifError(f"unsupported JPEG coding process (SOF{marker - 0xC0})")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel.append((cs, tdta >> 4, tdta & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            # entropy data follows until next marker (skipping RSTn/stuffed)
+            j = i + 2 + ln
+            start = j
+            segments = []
+            seg_start = j
+            while j < n - 1:
+                if data[j] == 0xFF:
+                    m2 = data[j + 1]
+                    if m2 == 0x00:
+                        j += 2
+                        continue
+                    if 0xD0 <= m2 <= 0xD7:  # restart marker: split segment
+                        segments.append(data[seg_start:j])
+                        j += 2
+                        seg_start = j
+                        continue
+                    break  # real marker ends the scan
+                j += 1
+            segments.append(data[seg_start:j])
+            scans.append(
+                {
+                    "sel": sel,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 15,
+                    "segments": [s.replace(b"\xff\x00", b"\xff") for s in segments],
+                    "dc": dict(dc_tables),
+                    "ac": dict(ac_tables),
+                    "ri": restart_interval,
+                }
+            )
+            i = j
+            continue
+        i += 2 + ln
+    if frame is None or not scans:
+        raise JfifError("no frame/scan found")
+    return {"frame": frame, "comps": comps, "qt": qt, "scans": scans}
+
+
+# ---------------------------------------------------------------------------
+# entropy decoding into per-component coefficient arrays
+
+
+def _alloc_coefs(frame, comps) -> None:
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    for c in comps:
+        c.bw = mcus_x * c.h  # blocks wide (MCU-padded)
+        c.bh = mcus_y * c.v
+        c.w = -(-frame["w"] * c.h // hmax)
+        c.hgt = -(-frame["h"] * c.v // vmax)
+        c.coefs = np.zeros((c.bh * c.bw, 64), dtype=np.int32)
+    frame["mcus_x"] = mcus_x
+    frame["mcus_y"] = mcus_y
+
+
+def _decode_scan(frame, comps, scan) -> None:
+    by_id = {c.cid: c for c in comps}
+    sel = [(by_id[cs], td, ta) for cs, td, ta in scan["sel"]]
+    progressive = frame["progressive"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    interleaved = len(sel) > 1
+    ri = scan["ri"]
+    segments = scan["segments"]
+
+    if interleaved:
+        # MCU-ordered scan (baseline full scans; progressive DC scans)
+        total_mcus = frame["mcus_x"] * frame["mcus_y"]
+        mcu = 0
+        seg_idx = 0
+        br = BitReader(segments[0])
+        pred = {c.cid: 0 for c, _, _ in sel}
+        per_mcu = ri if ri else total_mcus
+        while mcu < total_mcus:
+            end = min(mcu + per_mcu, total_mcus)
+            while mcu < end:
+                my, mx = divmod(mcu, frame["mcus_x"])
+                for comp, td, ta in sel:
+                    for by in range(comp.v):
+                        for bx in range(comp.h):
+                            bi = (my * comp.v + by) * comp.bw + (mx * comp.h + bx)
+                            row = comp.coefs[bi]
+                            if not progressive:
+                                _block_baseline(
+                                    br, row, scan["dc"][td], scan["ac"][ta], pred, comp.cid
+                                )
+                            elif ah == 0:  # DC first (interleaved AC is illegal)
+                                s = _decode_sym(br, scan["dc"][td])
+                                pred[comp.cid] += _extend(br.receive(s), s)
+                                row[0] = pred[comp.cid] << al
+                            else:  # DC refine
+                                if br.read_bit():
+                                    row[0] |= 1 << al
+                mcu += 1
+            if mcu < total_mcus:
+                seg_idx += 1
+                if seg_idx < len(segments):
+                    br = BitReader(segments[seg_idx])
+                pred = {c.cid: 0 for c, _, _ in sel}
+        return
+
+    # non-interleaved scan: ONE component on its OWN block grid
+    # (ceil(comp dims / 8), no MCU padding — T.81 A.2.2). Handles
+    # baseline single-component scans, progressive DC (first/refine)
+    # and progressive AC (first/refine).
+    comp, td, ta = sel[0]
+    bw = -(-comp.w // 8)
+    bh = -(-comp.hgt // 8)
+    total = bw * bh
+    seg_idx = 0
+    br = BitReader(segments[0])
+    eobrun = 0
+    pred = {comp.cid: 0}
+    ac_tbl = scan["ac"].get(ta)
+    per = ri if ri else total
+    b = 0
+    while b < total:
+        end = min(b + per, total)
+        while b < end:
+            by, bx = divmod(b, bw)
+            row = comp.coefs[by * comp.bw + bx]
+            if not progressive:
+                _block_baseline(br, row, scan["dc"][td], ac_tbl, pred, comp.cid)
+            elif ss == 0 and ah == 0:
+                s = _decode_sym(br, scan["dc"][td])
+                pred[comp.cid] += _extend(br.receive(s), s)
+                row[0] = pred[comp.cid] << al
+            elif ss == 0:
+                if br.read_bit():
+                    row[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _block_ac_first(br, row, ac_tbl, ss, se, al, eobrun)
+            else:
+                eobrun = _block_ac_refine(br, row, ac_tbl, ss, se, al, eobrun)
+            b += 1
+        if b < total:
+            seg_idx += 1
+            if seg_idx < len(segments):
+                br = BitReader(segments[seg_idx])
+            eobrun = 0
+            pred = {comp.cid: 0}
+
+
+def _block_baseline(br, row, dc_tbl, ac_tbl, pred, cid) -> None:
+    s = _decode_sym(br, dc_tbl)
+    diff = _extend(br.receive(s), s)
+    pred[cid] += diff
+    row[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = _decode_sym(br, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                break  # EOB
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > 63:
+            raise JfifError("AC index out of range")
+        row[k] = _extend(br.receive(s), s)  # zigzag order; dezigzag in iDCT
+        k += 1
+
+
+def _block_ac_first(br, row, ac_tbl, ss, se, al, eobrun) -> int:
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_sym(br, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) + br.receive(r) - 1
+                break
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise JfifError("AC index out of range (progressive first)")
+        row[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _block_ac_refine(br, row, ac_tbl, ss, se, al, eobrun) -> int:
+    # T.81 G.2.2 AC successive-approximation refinement
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_sym(br, ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + br.receive(r)
+                    break
+            else:
+                s = p1 if br.read_bit() else m1
+            while k <= se:
+                if row[k] != 0:
+                    if br.read_bit() and (row[k] & p1) == 0:
+                        row[k] += p1 if row[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if rs & 15:
+                if k > se:
+                    raise JfifError("AC index out of range (refine)")
+                row[k] = s
+            k += 1
+    if eobrun > 0:
+        # refinement bits for remaining nonzero coefficients in band
+        while k <= se:
+            if row[k] != 0:
+                if br.read_bit() and (row[k] & p1) == 0:
+                    row[k] += p1 if row[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# ---------------------------------------------------------------------------
+# vectorized back end
+
+
+def _dct_matrix(n: int = 8) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos((2 * x + 1) * k * np.pi / (2 * n))
+    m[0] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT8 = _dct_matrix(8)
+
+
+def _idct_blocks(coefs: np.ndarray, qtab: np.ndarray, k: int = 8) -> np.ndarray:
+    """(nblocks, 64) zigzag coefs + 64-entry zigzag qtab -> (nblocks, k, k)
+    samples (k=8 full; k<8 partial iDCT = libjpeg-style 1/8..7/8 scale)."""
+    dq = coefs.astype(np.float64) * qtab[None, :].astype(np.float64)
+    blocks = np.zeros((len(coefs), 64), dtype=np.float64)
+    blocks[:, ZIGZAG] = dq
+    blocks = blocks.reshape(-1, 8, 8)
+    if k == 8:
+        m = _DCT8
+        out = np.einsum("ij,njk,lk->nil", m.T, blocks, m.T, optimize=True)
+    else:
+        # partial reconstruction: k-point orthonormal iDCT of the k x k
+        # low-frequency corner = the block downscaled to k x k up to the
+        # (k/8) DC renormalization — identical scheme (and scalar) to
+        # fjpg.decode_fjpg_luma_scaled / libjpeg scale_num/8
+        sub = blocks[:, :k, :k] * (k / 8.0)
+        mk = _dct_matrix(k)
+        out = np.einsum("ij,njk,lk->nil", mk.T, sub, mk.T, optimize=True)
+    return out + 128.0
+
+
+def _comp_plane(comp: _Component, qtab: np.ndarray, k: int = 8) -> np.ndarray:
+    px = _idct_blocks(comp.coefs, qtab, k)
+    bh, bw = comp.bh, comp.bw
+    plane = px.reshape(bh, bw, k, k).transpose(0, 2, 1, 3).reshape(bh * k, bw * k)
+    if k == 8:
+        return plane[: comp.hgt, : comp.w]
+    # scaled dims, ceil like libjpeg
+    sh = -(-comp.hgt * k // 8)
+    sw = -(-comp.w * k // 8)
+    return plane[:sh, :sw]
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    y = y.astype(np.float64)
+    cb = cb.astype(np.float64) - 128.0
+    cr = cr.astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _upsample_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
+    ph, pw = plane.shape
+    if (ph, pw) == (h, w):
+        return plane
+    fy = -(-h // ph)
+    fx = -(-w // pw)
+    return np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)[:h, :w]
+
+
+def _decode_all(data) -> tuple[dict, list[_Component]]:
+    parsed = _parse(data)
+    frame, comps = parsed["frame"], parsed["comps"]
+    if frame["precision"] != 8:
+        raise JfifError("only 8-bit precision supported")
+    _alloc_coefs(frame, comps)
+    for scan in parsed["scans"]:
+        _decode_scan(frame, comps, scan)
+    frame["qt"] = parsed["qt"]
+    return frame, comps
+
+
+def decode_jfif(data) -> np.ndarray:
+    """Real JPEG bytes -> RGB uint8 (H, W, 3) (grayscale replicated)."""
+    frame, comps = _decode_all(data)
+    planes = []
+    for c in comps:
+        planes.append(
+            np.clip(_comp_plane(c, frame["qt"][c.tq]).round(), 0, 255).astype(np.uint8)
+        )
+    h, w = frame["h"], frame["w"]
+    if len(comps) == 1:
+        g = _upsample_to(planes[0], h, w)
+        return np.stack([g, g, g], axis=-1)
+    if len(comps) != 3:
+        raise JfifError(f"unsupported component count {len(comps)}")
+    y = _upsample_to(planes[0], h, w)
+    cb = _upsample_to(planes[1], h, w)
+    cr = _upsample_to(planes[2], h, w)
+    return _ycbcr_to_rgb(y, cb, cr)
+
+
+def decode_jfif_luma(data) -> np.ndarray:
+    """Real JPEG bytes -> Y plane uint8 (H, W). JFIF's Y IS the BT.601
+    luma, so this matches the engine's luma contract without touching
+    the chroma back end (chroma coefficients are still entropy-decoded:
+    the bitstream is sequential)."""
+    frame, comps = _decode_all(data)
+    y = np.clip(_comp_plane(comps[0], frame["qt"][comps[0].tq]).round(), 0, 255).astype(
+        np.uint8
+    )
+    return _upsample_to(y, frame["h"], frame["w"])
+
+
+def decode_jfif_luma_scaled(data, min_dim: int = 32) -> tuple[np.ndarray, int, int]:
+    """(luma uint8 at k/8 scale, orig_h, orig_w): pick the smallest
+    k in 1..8 with min(scaled dims) >= min_dim — the same partial-iDCT
+    downscale contract as fjpg.decode_fjpg_luma_scaled."""
+    frame, comps = _decode_all(data)
+    c0 = comps[0]
+    h, w = frame["h"], frame["w"]
+    # Y-plane dims before upsample; choose k from the Y grid
+    k = 8
+    for cand in range(1, 9):
+        if (c0.hgt * cand) // 8 >= min_dim and (c0.w * cand) // 8 >= min_dim:
+            k = cand
+            break
+    y = np.clip(_comp_plane(c0, frame["qt"][c0.tq], k).round(), 0, 255).astype(np.uint8)
+    return y, h, w
+
+
+# ---------------------------------------------------------------------------
+# baseline JFIF encoder
+#
+# Wire-format JPEG output (SOI/APP0/DQT/SOF0/DHT/[DRI]/SOS/EOI) so tests
+# and the synthetic corpus can carry REAL JPEG bytes with no external
+# encoder. Huffman tables are self-consistent canonical codes written
+# into DHT (any Kraft-valid table is legal JPEG; these are chosen to
+# exercise both the decoder's fast <=8-bit LUT and its 9..16-bit slow
+# path). Quantization uses the Annex K tables + libjpeg quality scaling
+# shared with FJPG, so the quality ladder degrades like real JPEG.
+
+
+def _huff_spec(lengths: dict[int, int]) -> tuple[list[int], bytes]:
+    """symbol->code-length map -> (DHT counts[16], values) with the
+    canonical (length, symbol) ordering. Asserts the Kraft inequality —
+    any violation would make the emitted bitstream undecodable."""
+    items = sorted(lengths.items(), key=lambda kv: (kv[1], kv[0]))
+    assert sum(1 << (16 - ln) for _, ln in items) <= 1 << 16, "Kraft violated"
+    counts = [0] * 16
+    for _, ln in items:
+        counts[ln - 1] += 1
+    return counts, bytes(sym for sym, _ in items)
+
+
+def _enc_codes(counts: list[int], values: bytes) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (same construction as HuffTable)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _default_tables() -> tuple[tuple, tuple]:
+    dc_lengths = {0: 2, 1: 3, 2: 3, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7, 8: 8, 9: 9, 10: 10, 11: 11}
+    ac_lengths: dict[int, int] = {0x00: 3, 0xF0: 11}  # EOB, ZRL
+    for r in range(16):
+        for s in range(1, 11):
+            ac_lengths[(r << 4) | s] = min(16, 3 + s + (3 * r) // 2)
+    ac_lengths[0x01] = 3  # (0,1): the most common AC symbol
+    return _huff_spec(dc_lengths), _huff_spec(ac_lengths)
+
+
+_DC_SPEC, _AC_SPEC = _default_tables()
+_DC_CODES = _enc_codes(*_DC_SPEC)
+_AC_CODES = _enc_codes(*_AC_SPEC)
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0)  # byte stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:  # pad to byte boundary with 1-bits (T.81 F.1.2.3)
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    s = abs(diff).bit_length()
+    code, ln = _DC_CODES[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    nz = np.nonzero(zz[1:])[0]
+    prev = 0
+    for pos in nz.tolist():
+        k = pos + 1
+        run = k - prev - 1
+        while run >= 16:
+            zc, zl = _AC_CODES[0xF0]
+            bw.put(zc, zl)
+            run -= 16
+        v = int(zz[k])
+        sv = abs(v).bit_length()
+        ac, al = _AC_CODES[(run << 4) | sv]
+        bw.put(ac, al)
+        bw.put(v if v > 0 else v + (1 << sv) - 1, sv)
+        prev = k
+    if prev < 63:
+        ec, el = _AC_CODES[0x00]
+        bw.put(ec, el)
+    return dc
+
+
+def _fdct_quant(plane: np.ndarray, qz: np.ndarray) -> np.ndarray:
+    """float plane (rows, cols multiples of 8), level-shifted -> quantized
+    zigzag coefficients (bh, bw, 64), fully vectorized."""
+    h, w = plane.shape
+    bh, bw = h // 8, w // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    f = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8, optimize=True)
+    zz = f.reshape(-1, 64)[:, ZIGZAG]
+    return np.round(zz / qz[None, :]).astype(np.int32).reshape(bh, bw, 64)
+
+
+def _pad_to(plane: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    ph, pw = rows - plane.shape[0], cols - plane.shape[1]
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jfif(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "420",
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB uint8 (H, W, 3) or gray (H, W) -> baseline JFIF bytes.
+
+    ``subsampling``: '420' (2x2 chroma boxes, the common camera layout)
+    or '444'. ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs (exercises segmented entropy decode)."""
+    from idf.codecs.fjpg import _quant_tables, _rgb_to_ycbcr
+
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError("encode_jfif expects (H, W, 3) RGB or (H, W) gray uint8")
+    h, w = img.shape[:2]
+    if h > 65535 or w > 65535 or h < 1 or w < 1:
+        raise ValueError("JFIF dims must fit u16")
+    qy2, qc2 = _quant_tables(quality)
+    qyz = qy2.flatten()[ZIGZAG]
+    qcz = qc2.flatten()[ZIGZAG]
+
+    if gray:
+        sub = False
+        samp = [(1, 1)]
+    else:
+        sub = subsampling == "420"
+        samp = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+    else:
+        ycc = _rgb_to_ycbcr(img.astype(np.float64)) - 128.0
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if sub:
+            he, we = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp, crp = _pad_to(cb, he, we), _pad_to(cr, he, we)
+            cb = (cbp[0::2, 0::2] + cbp[1::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 1::2]) / 4.0
+            cr = (crp[0::2, 0::2] + crp[1::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 1::2]) / 4.0
+        planes = [y, cb, cr]
+
+    # FDCT + quantize each component on its MCU-padded grid
+    comp_zz = []
+    for ci, (ch, cv) in enumerate(samp):
+        p = _pad_to(planes[ci], mcus_y * cv * 8, mcus_x * ch * 8)
+        comp_zz.append(_fdct_quant(p, qyz if ci == 0 else qcz))
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qyz.astype(np.uint8))
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qcz.astype(np.uint8))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (ch, cv) in enumerate(samp):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (counts, values) in ((0, _DC_SPEC), (1, _AC_SPEC)):
+        payload = bytes([tc << 4]) + bytes(counts) + values
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + struct.pack(">H", restart_interval)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # td=0, ta=0 for all components
+    sos += b"\x00\x3f\x00"  # ss=0 se=63 ah/al=0 (baseline)
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # interleaved entropy-coded scan
+    bw_ = _BitWriter()
+    preds = [0] * nc
+    total = mcus_x * mcus_y
+    rst = 0
+    for mcu in range(total):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw_.flush()
+            out += bw_.buf
+            bw_.buf = bytearray()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            preds = [0] * nc
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (ch, cv) in enumerate(samp):
+            for by in range(cv):
+                for bx in range(ch):
+                    zz = comp_zz[ci][my * cv + by, mx * ch + bx]
+                    preds[ci] = _encode_block(bw_, zz, preds[ci])
+    bw_.flush()
+    out += bw_.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

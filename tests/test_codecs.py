@@ -144,20 +144,158 @@ def test_png_luma_fused_filtered_fallback():
 
 
 def test_real_jpeg_seam():
-    """Real JPEG/JFIF bytes are recognized and route to the optional
-    Pillow codec; without Pillow they raise DecodeError (-> per-row
-    skip), never an unhandled crash (core/ImageLoader.java:7-11 seam)."""
+    """Real JPEG/JFIF bytes route to the in-repo pure-numpy decoder
+    (idf/codecs/jfif.py) through every registry entry point; corrupt
+    payloads after a valid SOI raise DecodeError (-> per-row skip),
+    never an unhandled crash (core/ImageLoader.java:7-11 seam)."""
     from idf.codecs import decode_luma, decode_luma_scaled
+    from idf.codecs.jfif import encode_jfif
 
     fake_jfif = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     assert sniff(fake_jfif) == "jfif"
-    try:
-        import PIL  # noqa: F401
+    for fn in (decode, decode_luma, lambda d: decode_luma_scaled(d, 16)):
+        with pytest.raises(DecodeError):
+            fn(fake_jfif)
 
-        have_pil = True
-    except ImportError:
-        have_pil = False
-    if not have_pil:
-        for fn in (decode, decode_luma, lambda d: decode_luma_scaled(d, 16)):
-            with pytest.raises(DecodeError, match="JPEG codec"):
-                fn(fake_jfif)
+    img = _rand_img((24, 31, 3), seed=9)
+    data = encode_jfif(img, quality=95)
+    assert sniff(data) == "jfif"
+    assert decode(data).shape == (24, 31, 3)
+    assert decode_luma(data).shape == (24, 31)
+    gray, h, w = decode_luma_scaled(data, 16)
+    assert (h, w) == (24, 31)
+    with pytest.raises(DecodeError):
+        decode(data[: len(data) // 2])  # truncated scan
+
+
+# ---------------------------------------------------------------------------
+# real JFIF (idf/codecs/jfif.py): wire-format JPEG encode + decode
+
+
+def _smooth_img(h=96, w=96):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 2) % 256, (yy * 2) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_jfif_roundtrip_quality_ladder(sub):
+    from idf.codecs.jfif import decode_jfif, encode_jfif
+
+    img = _smooth_img()
+    hi = decode_jfif(encode_jfif(img, quality=90, subsampling=sub))
+    lo = decode_jfif(encode_jfif(img, quality=30, subsampling=sub))
+    assert _psnr(img, hi) >= 40.0  # BASELINE.json fidelity bar for lossy
+    assert _psnr(img, lo) < _psnr(img, hi)
+    assert _psnr(img, lo) > 25.0
+
+
+def test_jfif_odd_dims_and_tiny():
+    """MCU padding: odd dims with 4:2:0 (padding crosses both the block
+    grid and the chroma subsample grid), plus 1x1 and 1xN edge shapes."""
+    from idf.codecs.jfif import decode_jfif, encode_jfif
+
+    for shape in ((13, 17, 3), (8, 8, 3), (1, 1, 3), (1, 19, 3), (23, 1, 3)):
+        h, w, _ = shape
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 7 + 40) % 256, (yy * 5 + 90) % 256, (xx + yy + 160) % 256], axis=-1
+        ).astype(np.uint8)
+        for sub in ("444", "420"):
+            out = decode_jfif(encode_jfif(img, quality=95, subsampling=sub))
+            assert out.shape == shape
+            assert _psnr(img, out) > 25.0
+
+
+def test_jfif_gray_luma_exact():
+    """Grayscale JPEG: Y channel round-trips through the single-component
+    scan; decode_jfif_luma equals the RGB decode's (replicated) channel
+    bit-for-bit, and chroma-free means luma == channel exactly."""
+    from idf.codecs.jfif import decode_jfif, decode_jfif_luma, encode_jfif
+
+    g = _rand_img((41, 57), seed=11)
+    data = encode_jfif(g, quality=90)
+    rgb = decode_jfif(data)
+    assert np.array_equal(rgb[..., 0], rgb[..., 1])
+    assert np.array_equal(rgb[..., 0], decode_jfif_luma(data))
+    assert _psnr(g, rgb[..., 0]) > 30.0
+
+
+def test_jfif_restart_markers():
+    """DRI/RSTn segmentation decodes bit-identically to the same image
+    without restarts (exercises the decoder's segment/pred-reset path)."""
+    from idf.codecs.jfif import decode_jfif, encode_jfif
+
+    img = _rand_img((33, 50, 3), seed=12)
+    plain = encode_jfif(img, quality=85, subsampling="420")
+    rst = encode_jfif(img, quality=85, subsampling="420", restart_interval=2)
+    assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain
+    assert np.array_equal(decode_jfif(plain), decode_jfif(rst))
+
+
+def test_jfif_scaled_luma_contract():
+    """decode_jfif_luma_scaled: constant image stays constant at every
+    scale; k=8 equals the full luma decode; scaled dims follow the k/8
+    ceil rule (same contract as fjpg.decode_fjpg_luma_scaled)."""
+    from idf.codecs.jfif import decode_jfif_luma, decode_jfif_luma_scaled, encode_jfif
+
+    flat = np.full((64, 80, 3), 137, dtype=np.uint8)
+    data = encode_jfif(flat, quality=90, subsampling="420")
+    for min_dim in (4, 16, 64):
+        y, h, w = decode_jfif_luma_scaled(data, min_dim)
+        assert (h, w) == (64, 80)
+        assert min(y.shape) >= min(min_dim, 64)
+        assert int(y.max()) - int(y.min()) <= 1  # constant up to rounding
+    y8, _, _ = decode_jfif_luma_scaled(data, 64)
+    assert np.array_equal(y8, decode_jfif_luma(data))
+
+
+def test_jfif_phash_family_integration():
+    """A real-JFIF re-encode of a procedural image hashes within the
+    family radius (<= 10) of its PNG twin — the property the dedup
+    pipeline relies on for mixed-format duplicate families."""
+    from idf.codecs import encode
+    from idf.codecs.jfif import encode_jfif
+    from idf.kernels.hashes import hash_bytes
+    from idf.synth import _base_image
+
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        base = _base_image(rng)
+        ph_png, _, _ = hash_bytes(encode(base, "png"), "phash")
+        ph_jf, _, _ = hash_bytes(encode_jfif(base, quality=92), "phash")
+        assert bin(ph_png ^ ph_jf).count("1") <= 10
+
+
+_FIXDIR = "/root/reference/fixtures"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_FIXDIR), reason="reference fixtures absent"
+)
+def test_jfif_reference_fixtures():
+    """Decode of REAL encoder output (the reference's own test corpus,
+    used as data only): baseline 4:2:0, baseline 4:4:4 and 10-scan
+    progressive files; fidelity pinned against this repo's independent
+    PNG decoder on the losslessly-stored copy of the same picture."""
+    import os
+
+    from idf.codecs.jfif import decode_jfif
+
+    rd = lambda n: open(os.path.join(_FIXDIR, n), "rb").read()  # noqa: E731
+
+    png = decode_png(rd("drink-png.png"))
+    base = decode_jfif(rd("drink.jpg"))  # baseline, 4:2:0
+    assert base.shape == png.shape == (810, 810, 3)
+    assert _psnr(png, base) >= 40.0
+
+    cat = decode_jfif(rd("cat.jpg"))  # baseline, 4:4:4
+    assert cat.shape == (184, 184, 3)
+
+    prog = decode_jfif(rd("drink-compressed-lightly.jpg"))  # progressive
+    assert _psnr(png, prog) >= 30.0
+
+    black = decode_jfif(rd(os.path.join("true-grayscale", "200x200-black.jpg")))
+    assert black.shape == (200, 200, 3)
+    assert int(black.max()) == 0
