@@ -160,7 +160,10 @@ def generate_family(family_idx: int, seed: int = 42) -> list[dict]:
 
     if kind < 0.04:  # corrupt rows (decode-skip probe, FIXTURES §2)
         junk = bytes(rng.integers(0, 256, int(rng.integers(64, 512)), dtype=np.uint8))
-        rows.append(_row(f"{fid}-corrupt", b"\x89PNG\r\n\x1a\n" + junk, "png", _caption(rng)))
+        if rng.uniform() < 0.5:
+            rows.append(_row(f"{fid}-corrupt", b"\x89PNG\r\n\x1a\n" + junk, "png", _caption(rng)))
+        else:  # valid JPEG SOI, garbage after — real-format skip path
+            rows.append(_row(f"{fid}-corrupt", b"\xff\xd8\xff\xe0" + junk, "jpg", _caption(rng)))
         return rows
     if kind < 0.08:  # non-image formats the engine must filter out
         cap = _caption(rng)
@@ -207,6 +210,14 @@ def generate_family(family_idx: int, seed: int = 42) -> list[dict]:
             rows.append(
                 _row(f"{fid}-rot", encode(np.ascontiguousarray(np.rot90(base)), "png"), "png", vcap)
             )
+    if rng.uniform() < 0.12:
+        # REAL baseline-JFIF re-encode (idf/codecs/jfif.py) — ~1.5% of
+        # rows, sized so the pure-Python entropy decode (the honest cost
+        # of real JPEG with no native codec) stays a bounded slice of
+        # the bench pipeline while keeping the format first-class at
+        # every scale, not just in unit tests.
+        vcap = _perturb_caption(cap, rng) if rng.uniform() < 0.5 else cap
+        rows.append(_row(f"{fid}-jfif", encode(base, "jfif", quality=88), "jpg", vcap))
     return rows
 
 
@@ -242,7 +253,7 @@ def sf_from_dir(sf_dir: str) -> float:
 
 # bump when generator/kernels change shape or bytes — keyed into every
 # cache path so stale corpora are never served across code versions
-CACHE_TAG = "v4"
+CACHE_TAG = "v5"
 
 
 def ensure_images_cache(sf_dir: str, seed: int = 42, cache_root: str = "/tmp/idf_cache") -> str:
