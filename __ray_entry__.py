@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from idf.functions.media import audio_features, synth_audio_table
 
+        # REAL RIFF/PCM decode (idf/codecs/wav.py); scalar features are
+        # codec-verified in tests/test_media.py (rows-only here: SQL
+        # cannot parse WAV bytes)
         out = audio_features(rd.from_arrow(synth_audio_table(64)))
         return out.map_batches(
             lambda t: pa.table(
@@ -173,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "n_features": pa.array(
                         [len(v) for v in t["features"].to_pylist()], pa.int64()
                     ),
+                    "n_samples": t["n_samples"],
+                    "rms": t["rms"],
                 }
             ),
             batch_format="pyarrow",
@@ -181,8 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def __media_video():
         from idf.functions.media import synth_video_table, video_frames
 
+        # REAL YUV4MPEG2 random-access frame decode (idf/codecs/y4m.py)
         return video_frames(rd.from_arrow(synth_video_table(32)), every_n=30).select_columns(
-            ["media_id", "frame_idx"]
+            ["media_id", "frame_idx", "w", "h", "mean_luma"]
         )
 
     # -- relational parity ops on the driver tables (SQL-checkable)
