@@ -72,6 +72,7 @@ def sessionize(
     time_col: str = "ts",
     order_col: str = "event_id",
     gap: str = "30min",
+    salt: str | None = None,
 ) -> rd.Dataset:
     """Gap-based sessionization: one row per (user, session) with
     n_events and the session's time bounds. A new session starts when
@@ -81,21 +82,32 @@ def sessionize(
     express natively; the composition is ONE shuffle keyed on a hash
     bucket of the user, then a fully vectorized per-bucket kernel
     (sort + diff + cumsum — no per-user Python loop). Partitioning
-    assumption: all events of a user fit one bucket's task (true until
-    a single user exceeds ~block size; salt by day for adversarial
-    users).
+    assumption: all events of a user fit one bucket's task.
+
+    ``salt`` (e.g. ``'1d'``, must be >= ``gap``) lifts that assumption
+    for adversarial hot users: phase 1 shuffles on (user, time-period)
+    so no task ever holds more than one period of one user, emitting
+    maximal session FRAGMENTS per period; phase 2 shuffles only the
+    fragment summaries (4 scalars per fragment — thousands of times
+    smaller than the events) by user and merges boundary-adjacent
+    fragments with the same diff+cumsum kernel at fragment granularity.
+    Exact: fragments are maximal within a period, so the only possible
+    joins are across period boundaries, decided by exactly the
+    last/first event pair the fragment summaries carry.
     """
     gap_ns = int(pd.Timedelta(gap).value)
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([user_col, time_col, order_col], kind="mergesort")
-        ts = df[time_col].to_numpy(dtype="datetime64[ns]")
+    def _sessions_over(df: pd.DataFrame, start_col, end_col, weight_col) -> pd.DataFrame:
+        """Vectorized per-user gap scan over rows sorted by (user, time):
+        rows are events (start==end, weight 1) or fragments."""
+        ts_start = df[start_col].to_numpy(dtype="datetime64[ns]")
+        ts_end = df[end_col].to_numpy(dtype="datetime64[ns]")
         uid = df[user_col].to_numpy()
         n = len(df)
         brk = np.ones(n, dtype=bool)
         if n > 1:
             same_user = uid[1:] == uid[:-1]
-            small_gap = (ts[1:] - ts[:-1]).astype(np.int64) <= gap_ns
+            small_gap = (ts_start[1:] - ts_end[:-1]).astype(np.int64) <= gap_ns
             brk[1:] = ~(same_user & small_gap)
         sid_global = np.cumsum(brk)
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]] if n else [])
@@ -105,9 +117,9 @@ def sessionize(
         out = (
             df.groupby([user_col, "session_id"], sort=False)
             .agg(
-                n_events=(time_col, "size"),
-                session_start=(time_col, "min"),
-                session_end=(time_col, "max"),
+                n_events=(weight_col, "size" if weight_col is None else "sum"),
+                session_start=(start_col, "min"),
+                session_end=(end_col, "max"),
             )
             .reset_index()
         )
@@ -115,7 +127,60 @@ def sessionize(
         return out
 
     pruned = ds.select_columns([user_col, time_col, order_col])
-    return bucketed_apply(pruned, user_col, per_bucket, n_buckets=256)
+
+    if salt is None:
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values([user_col, time_col, order_col], kind="mergesort")
+            df = df.assign(__w=np.ones(len(df), dtype=np.int64))
+            return _sessions_over(df, time_col, time_col, "__w")
+
+        return bucketed_apply(pruned, user_col, per_bucket, n_buckets=256)
+
+    if pd.Timedelta(salt) < pd.Timedelta(gap):
+        raise ValueError("salt period must be >= gap (else fragments are not maximal)")
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__salt=df[time_col].dt.floor(salt))
+
+    def per_salted_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Maximal fragments within each (user, period)."""
+        df = df.sort_values([user_col, "__salt", time_col, order_col], kind="mergesort")
+        ts = df[time_col].to_numpy(dtype="datetime64[ns]")
+        uid = df[user_col].to_numpy()
+        sl = df["__salt"].to_numpy(dtype="datetime64[ns]")
+        n = len(df)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            same = (uid[1:] == uid[:-1]) & (sl[1:] == sl[:-1])
+            small_gap = (ts[1:] - ts[:-1]).astype(np.int64) <= gap_ns
+            brk[1:] = ~(same & small_gap)
+        fid = np.cumsum(brk)
+        df = df.assign(__fid=fid)
+        out = (
+            df.groupby([user_col, "__fid"], sort=False)
+            .agg(
+                n_events=(time_col, "size"),
+                frag_start=(time_col, "min"),
+                frag_end=(time_col, "max"),
+            )
+            .reset_index()
+            .drop(columns="__fid")
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    def merge_frags(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, "frag_start", "frag_end"], kind="mergesort")
+        return _sessions_over(df, "frag_start", "frag_end", "n_events")
+
+    frags = bucketed_apply(
+        pruned.map_batches(add_salt, batch_format="pandas"),
+        [user_col, "__salt"],
+        per_salted_bucket,
+        n_buckets=256,
+    )
+    return bucketed_apply(frags, user_col, merge_frags, n_buckets=256)
 
 
 def events_asof_orders(events: rd.Dataset, orders: rd.Dataset) -> rd.Dataset:

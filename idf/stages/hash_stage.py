@@ -164,6 +164,17 @@ def auto_num_blocks(path: str, ncpu: int, target_block_bytes: int = TARGET_BLOCK
     return int(max(4 * ncpu, by_bytes))
 
 
+def _augment_optional_columns(columns: list[str] | None, schema_names) -> list[str] | None:
+    """Shared column-pruning contract for every read_images branch:
+    requested columns pass through untouched, except the optional EXIF
+    ``orientation`` column (M1) is kept whenever the source table has
+    one. Both the parquet and lance branches MUST route their pruning
+    through here (tests/test_pipeline_e2e.py pins the contract)."""
+    if columns is not None and "orientation" not in columns and "orientation" in schema_names:
+        return [*columns, "orientation"]
+    return columns
+
+
 def read_images(
     path: str, columns: list[str] | None = None, num_blocks: int | None = None
 ) -> rd.Dataset:
@@ -172,26 +183,27 @@ def read_images(
     (the north-rule table format — fragment-parallel, column-pruned at
     the storage layer); anything else is parquet. The lance wheel is
     absent in-sandbox, so the lance branch is import-gated with a clear
-    error and the test layout is parquet (SURVEY §7 fallback)."""
+    error and the test layout is parquet (SURVEY §7 fallback); the
+    branch itself is exercised by a stub-module contract test."""
     if path.rstrip("/").endswith(".lance"):
         try:
-            import lance  # noqa: F401
+            import lance
         except ImportError as e:
             raise ImportError(
                 "reading a .lance table needs the `lance` wheel, which "
                 "this environment does not ship; re-write the table as "
                 "parquet or install pylance"
             ) from e
+        if columns is not None:
+            columns = _augment_optional_columns(columns, lance.dataset(path).schema.names)
         return rd.read_lance(path, columns=columns)
     kw = {}
     if num_blocks is not None:
         kw["override_num_blocks"] = num_blocks
-    if columns is not None and "orientation" not in columns:
-        # keep the optional EXIF column (M1) when the source has one
+    if columns is not None:
         import pyarrow.dataset as pads
 
-        if "orientation" in pads.dataset(path).schema.names:
-            columns = [*columns, "orientation"]
+        columns = _augment_optional_columns(columns, pads.dataset(path).schema.names)
     return rd.read_parquet(path, columns=columns, **kw)
 
 

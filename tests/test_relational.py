@@ -138,6 +138,57 @@ def test_sessionize_gap_strictness_and_numbering(ray_session):
     assert got.groupby("user_id")["session_id"].min().eq(1).all()
 
 
+def test_sessionize_salted_equals_unsalted(ray_session, event_frame):
+    """Time-salted two-phase sessionize (hot-user path) is EXACTLY the
+    single-shuffle result, on a realistic event frame at two salt
+    periods (1d and, adversarially tight, 1h == 2x gap)."""
+    cols = ["user_id", "session_id", "n_events", "session_start", "session_end"]
+    want = (
+        sessionize(rd.from_pandas(event_frame), gap="30min")
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    for salt in ("1d", "1h"):
+        got = (
+            sessionize(rd.from_pandas(event_frame), gap="30min", salt=salt)
+            .to_pandas()[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sessionize_salted_hot_user_boundary(ray_session):
+    """A single adversarial user whose one session spans many salt
+    periods: phase-1 tasks each see only one period, yet the merged
+    output is one session; an over-gap break at a period boundary still
+    splits. Also: salt < gap is rejected."""
+    base = pd.Timestamp("2024-03-01 23:40:00")
+    # events every 10min for 6h -> one session crossing 6+ 1h-periods
+    ts = [base + pd.Timedelta(minutes=10 * i) for i in range(37)]
+    # then a 2h silence and two more events -> second session
+    ts += [ts[-1] + pd.Timedelta("2h"), ts[-1] + pd.Timedelta("2h10min")]
+    ev = pd.DataFrame(
+        {
+            "user_id": np.zeros(len(ts), dtype=np.int64),
+            "ts": pd.Series(ts).astype("datetime64[us]"),
+            "event_id": np.arange(len(ts), dtype=np.int64),
+        }
+    )
+    got = (
+        sessionize(rd.from_pandas(ev), gap="30min", salt="1h")
+        .to_pandas()
+        .sort_values("session_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == [37, 2]
+    assert got["session_start"].iloc[0] == ts[0]
+    assert got["session_end"].iloc[0] == ts[36]
+    with pytest.raises(ValueError, match="salt period"):
+        sessionize(rd.from_pandas(ev), gap="30min", salt="10min")
+
+
 def test_sessionize_matches_sql_shape(ray_session, event_frame):
     got = sessionize(rd.from_pandas(event_frame), gap="30min").to_pandas()
     # oracle: per-user scan
