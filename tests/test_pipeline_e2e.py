@@ -276,3 +276,31 @@ def test_read_images_lance_import_gate(monkeypatch):
     monkeypatch.setitem(sys.modules, "lance", None)  # forces ImportError
     with _pytest.raises(ImportError, match="lance"):
         read_images("/data/images.lance", columns=["image_id"])
+
+
+@pytest.mark.parametrize("radius", [1, 2, 10])
+def test_radius_conformance_partition(ray_session, tmp_path_factory, radius):
+    """Reference run-config conformance (FIXTURES.md §5.2, mirroring the
+    reference's '.run' configs at low/default Hamming radii): the full
+    pipeline's cluster partition equals the sequential oracle's BFS/CC
+    partition EXACTLY at radius 1, 2 and 10, over a corpus that now
+    includes real-JFIF variants. Radius 1/2 exercise the pigeonhole
+    banding at e=0 (exact-segment keys); radius 10 at e=1."""
+    from idf.synth import generate_images_table, write_images_table
+
+    imgs = tmp_path_factory.mktemp(f"imgs_r{radius}") / "images.parquet"
+    table = generate_images_table(n_families=12, seed=23)
+    write_images_table(table, str(imgs))
+
+    run_dir = str(tmp_path_factory.mktemp(f"run_r{radius}"))
+    run_dedup(str(imgs), run_dir, DedupConfig(radius=radius), resume=False)
+
+    _, comps, _ = oracle_end_to_end(table, radius=radius)
+    want = {c for c in comps if len(c) >= 2}
+    got = _partition(
+        [
+            (r["cluster_id"], r["image_id"])
+            for r in read_stage(run_dir, "clusters").to_pandas().to_dict("records")
+        ]
+    )
+    assert got == want
