@@ -52,7 +52,17 @@ class JfifError(ValueError):
 
 
 class HuffTable:
-    __slots__ = ("lut_sym", "lut_len", "maxcode", "valptr", "mincode", "values")
+    __slots__ = (
+        "lut_sym",
+        "lut_len",
+        "maxcode",
+        "valptr",
+        "mincode",
+        "values",
+        "_codes",
+        "lut16_sym",
+        "lut16_len",
+    )
 
     def __init__(self, counts: list[int], values: bytes):
         # canonical codes: lengths 1..16 with counts[l-1] codes each
@@ -72,6 +82,7 @@ class HuffTable:
                 k += 1
             self.maxcode[length] = code - 1
             code <<= 1
+        self._codes = codes_by_len
         # 8-bit fast LUT: any code of length <= 8 resolves in one peek
         self.lut_sym = np.full(256, -1, dtype=np.int16)
         self.lut_len = np.zeros(256, dtype=np.int8)
@@ -81,6 +92,41 @@ class HuffTable:
                 hi = lo + (1 << (8 - length))
                 self.lut_sym[lo:hi] = sym
                 self.lut_len[lo:hi] = length
+        self.lut16_sym = None
+        self.lut16_len = None
+
+    def ensure_lut16(self) -> None:
+        """Full 16-bit peek LUT as plain Python lists (scalar list
+        indexing beats numpy scalar indexing ~4x in the entropy loop).
+        Every valid code resolves in ONE peek; 0 length marks invalid.
+        Built once per distinct table (see _HT_CACHE)."""
+        if self.lut16_sym is not None:
+            return
+        sym = np.zeros(65536, dtype=np.int16)
+        ln = np.zeros(65536, dtype=np.int16)
+        for length, c, s in self._codes:
+            lo = c << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = s
+            ln[lo:hi] = length
+        self.lut16_sym = sym.tolist()
+        self.lut16_len = ln.tolist()
+
+
+# one decoder-wide table cache: JPEGs overwhelmingly share the handful
+# of standard (or per-encoder fixed) DHT payloads, so LUT construction
+# amortizes to zero across a corpus
+_HT_CACHE: dict[bytes, HuffTable] = {}
+
+
+def _huff_table(counts: list[int], values: bytes) -> HuffTable:
+    key = bytes(counts) + b"|" + values
+    t = _HT_CACHE.get(key)
+    if t is None:
+        if len(_HT_CACHE) > 4096:  # adversarial many-table corpora
+            _HT_CACHE.clear()
+        t = _HT_CACHE[key] = HuffTable(counts, values)
+    return t
 
 
 # ---------------------------------------------------------------------------
@@ -205,7 +251,7 @@ def _parse(data) -> dict:
                 counts = list(seg[p + 1 : p + 17])
                 nv = sum(counts)
                 values = seg[p + 17 : p + 17 + nv]
-                (ac_tables if tc else dc_tables)[th] = HuffTable(counts, values)
+                (ac_tables if tc else dc_tables)[th] = _huff_table(counts, values)
                 p += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
             frame = {
@@ -293,10 +339,128 @@ def _alloc_coefs(frame, comps) -> None:
     frame["mcus_y"] = mcus_y
 
 
+def _decode_baseline_scan(frame, comps, scan) -> None:
+    """Baseline (and single-scan sequential) entropy decode, specialized:
+    cached 16-bit Huffman LUTs (one peek per symbol, Python-list indexed)
+    and a fully inlined local-variable bit reader — ~3x the generic
+    method-dispatch path, which remains for progressive scans."""
+    by_id = {c.cid: c for c in comps}
+    sel = []
+    for cs, td, ta in scan["sel"]:
+        comp = by_id[cs]
+        dc, ac = scan["dc"][td], scan["ac"][ta]
+        dc.ensure_lut16()
+        ac.ensure_lut16()
+        sel.append((comp, dc.lut16_sym, dc.lut16_len, ac.lut16_sym, ac.lut16_len))
+    segments = scan["segments"]
+    ri = scan["ri"]
+    interleaved = len(sel) > 1
+
+    if interleaved:
+        mcus_x = frame["mcus_x"]
+        total = mcus_x * frame["mcus_y"]
+        per = ri if ri else total
+        # flatten each MCU's blocks: (coefs, dcs, dcl, acs, acl, slot, by, bx)
+        units = []
+        for slot, (comp, dcs, dcl, acs, acl) in enumerate(sel):
+            for by in range(comp.v):
+                for bx in range(comp.h):
+                    units.append((comp, dcs, dcl, acs, acl, slot, by, bx))
+    else:
+        comp = sel[0][0]
+        bw = -(-comp.w // 8)
+        total = bw * (-(-comp.hgt // 8))
+        per = ri if ri else total
+        units = None
+
+    done = 0
+    seg_idx = 0
+    while done < total:
+        data = segments[seg_idx] if seg_idx < len(segments) else b""
+        n = len(data)
+        pos = 0
+        acc = 0
+        nbits = 0
+        preds = [0] * len(sel)
+        end = min(done + per, total)
+        mcu = done
+        while mcu < end:
+            if interleaved:
+                my, mx = divmod(mcu, mcus_x)
+                blocks = units
+            else:
+                by0, bx0 = divmod(mcu, bw)
+                blocks = ((sel[0][0], sel[0][1], sel[0][2], sel[0][3], sel[0][4], 0, by0, bx0),)
+            for comp, dcs, dcl, acs, acl, slot, by, bx in blocks:
+                if interleaved:
+                    bi = (my * comp.v + by) * comp.bw + (mx * comp.h + bx)
+                else:
+                    bi = by * comp.bw + bx
+                row = comp.coefs[bi]
+                # ---- DC
+                while nbits < 16:
+                    acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
+                    pos += 1
+                    nbits += 8
+                look = (acc >> (nbits - 16)) & 0xFFFF
+                ln = dcl[look]
+                if not ln:
+                    raise JfifError("bad Huffman code (DC)")
+                nbits -= ln
+                s = dcs[look]
+                if s:
+                    while nbits < s:
+                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
+                        pos += 1
+                        nbits += 8
+                    nbits -= s
+                    v = (acc >> nbits) & ((1 << s) - 1)
+                    if v < 1 << (s - 1):
+                        v += 1 - (1 << s)
+                    preds[slot] += v
+                row[0] = preds[slot]
+                # ---- AC
+                k = 1
+                while k < 64:
+                    while nbits < 16:
+                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
+                        pos += 1
+                        nbits += 8
+                    look = (acc >> (nbits - 16)) & 0xFFFF
+                    ln = acl[look]
+                    if not ln:
+                        raise JfifError("bad Huffman code (AC)")
+                    nbits -= ln
+                    rs = acs[look]
+                    s = rs & 15
+                    if not s:
+                        if rs != 0xF0:
+                            break  # EOB
+                        k += 16  # ZRL
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise JfifError("AC index out of range")
+                    while nbits < s:
+                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
+                        pos += 1
+                        nbits += 8
+                    nbits -= s
+                    v = (acc >> nbits) & ((1 << s) - 1)
+                    row[k] = v + 1 - (1 << s) if v < 1 << (s - 1) else v
+                    k += 1
+            mcu += 1
+        done = end
+        seg_idx += 1
+
+
 def _decode_scan(frame, comps, scan) -> None:
     by_id = {c.cid: c for c in comps}
     sel = [(by_id[cs], td, ta) for cs, td, ta in scan["sel"]]
     progressive = frame["progressive"]
+    if not progressive:
+        _decode_baseline_scan(frame, comps, scan)
+        return
     ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
     interleaved = len(sel) > 1
     ri = scan["ri"]
