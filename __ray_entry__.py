@@ -277,6 +277,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return sessionize(ev, gap="30min")
 
+    def events_sessions_salted(sf):
+        # the hot-user two-phase path (shuffle on (user, 1d-period),
+        # merge fragment summaries) against the SAME SQL oracle as
+        # events_sessions: salting is an implementation detail and the
+        # output must be hash-identical
+        from idf.functions.relational import sessionize
+
+        ev = rd.read_parquet(
+            os.path.join(sf, "events.parquet"), columns=["user_id", "ts", "event_id"]
+        )
+        return sessionize(ev, gap="30min", salt="1d")
+
     def events_asof_orders(sf):
         from idf.functions.relational import events_asof_orders as _asof
 
@@ -414,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": events_by_type,
         "events_window_agg": events_window_agg,
         "events_sessions": events_sessions,
+        "events_sessions_salted": events_sessions_salted,
         "events_asof_orders": events_asof_orders,
         "events_json_k": events_json_k,
         "orders_price_band": orders_price_band,
@@ -865,6 +878,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessions": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY 1, 2
+        """,
+        "events_sessions_salted": """
             WITH g AS (
               SELECT user_id, ts, event_id,
                      CASE WHEN lag(ts) OVER w IS NULL
