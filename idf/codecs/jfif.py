@@ -183,17 +183,15 @@ def _extend(v: int, s: int) -> int:
 
 
 def _decode_sym(br: BitReader, tbl: HuffTable) -> int:
-    look = br.peek(8)
-    length = tbl.lut_len[look]
+    # cached 16-bit LUT (built once per distinct DHT): one peek per
+    # symbol; invalid codes have length 0
+    if tbl.lut16_len is None:
+        tbl.ensure_lut16()
+    look = br.peek(16)
+    length = tbl.lut16_len[look]
     if length:
-        br.skip(int(length))
-        return int(tbl.lut_sym[look])
-    # slow path: codes 9..16 bits (T.81 F.16)
-    code = br.receive(8)
-    for ln in range(9, 17):
-        code = (code << 1) | br.read_bit()
-        if code <= tbl.maxcode[ln]:
-            return tbl.values[tbl.valptr[ln] + code - tbl.mincode[ln]]
+        br.skip(length)
+        return tbl.lut16_sym[look]
     raise JfifError("bad Huffman code")
 
 
