@@ -91,3 +91,32 @@ def test_fetch_images_empty_idset():
         pa.table({"image_id": ["i1"], "bytes": pa.array([b"x"], pa.binary()), "fmt": ["png"]})
     )
     assert fetch_images(imgs, []).count() == 0
+
+
+def test_fetch_images_pruned_matches_broadcast(ray_session, small_images_table, tmp_path):
+    """Read-side id pushdown returns exactly the broadcast semi-join's
+    rows (same ids, same payloads), and the scan-level filter actually
+    engages (requesting no ids reads zero rows)."""
+    import pandas as pd
+
+    from idf.stages.web import fetch_images_pruned
+
+    src = rd.read_parquet(small_images_table)
+    some = [r["image_id"] for r in src.take(30)][::3]
+    want = (
+        fetch_images(rd.read_parquet(small_images_table), ids=some)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        fetch_images_pruned(small_images_table, some)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    want["bytes"] = want["bytes"].map(bytes)
+    got["bytes"] = got["bytes"].map(bytes)
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["image_id"]) == set(some)
+    assert fetch_images_pruned(small_images_table, ["no-such-id"]).count() == 0
