@@ -452,6 +452,176 @@ def _decode_baseline_scan(frame, comps, scan) -> None:
         seg_idx += 1
 
 
+def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
+    """Progressive AC scan (first or refine), specialized like the
+    baseline path: cached 16-bit LUT, inlined local-variable bit reader,
+    and (for refine) per-block band edits on a Python list with a dirty
+    flag — refine visits every coefficient of every block once per scan,
+    which made the generic method-dispatch path the decoder's hot spot
+    on 10-scan web JPEGs. Progressive AC scans are non-interleaved by
+    spec (T.81 G.2), so this always handles exactly one component."""
+    ac_tbl.ensure_lut16()
+    acs = ac_tbl.lut16_sym
+    acl = ac_tbl.lut16_len
+    coefs = comp.coefs
+    bw = -(-comp.w // 8)
+    total = bw * (-(-comp.hgt // 8))
+    per = ri if ri else total
+    p1 = 1 << al
+    m1 = -p1
+    width = se - ss + 1
+    refine = ah != 0
+    done = 0
+    seg_idx = 0
+    while done < total:
+        data = segments[seg_idx] if seg_idx < len(segments) else b""
+        n = len(data)
+        pos = 0
+        acc = 0
+        nbits = 0
+        eobrun = 0
+        end = min(done + per, total)
+        b = done
+        while b < end:
+            if not refine:
+                if eobrun:
+                    eobrun -= 1
+                    b += 1
+                    continue
+                by, bx = divmod(b, bw)
+                row = coefs[by * comp.bw + bx]
+                k = ss
+                while k <= se:
+                    while nbits < 16:
+                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
+                        pos += 1
+                        nbits += 8
+                    look = (acc >> (nbits - 16)) & 0xFFFF
+                    ln = acl[look]
+                    if not ln:
+                        raise JfifError("bad Huffman code (AC first)")
+                    nbits -= ln
+                    rs = acs[look]
+                    s = rs & 15
+                    if s == 0:
+                        r = rs >> 4
+                        if r != 15:
+                            if r:
+                                while nbits < r:
+                                    acc = (
+                                        (acc << 8) | (data[pos] if pos < n else 0xFF)
+                                    ) & 0xFFFFFFFF
+                                    pos += 1
+                                    nbits += 8
+                                nbits -= r
+                                eobrun = (1 << r) + ((acc >> nbits) & ((1 << r) - 1)) - 1
+                            else:
+                                eobrun = 0
+                            break
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > se:
+                        raise JfifError("AC index out of range (progressive first)")
+                    while nbits < s:
+                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
+                        pos += 1
+                        nbits += 8
+                    nbits -= s
+                    v = (acc >> nbits) & ((1 << s) - 1)
+                    if v < 1 << (s - 1):
+                        v += 1 - (1 << s)
+                    row[k] = v << al
+                    k += 1
+                b += 1
+                continue
+            # ---- refine (T.81 G.2.2): correction bit per nonzero-history coef
+            by, bx = divmod(b, bw)
+            row = coefs[by * comp.bw + bx]
+            band = row[ss : se + 1].tolist()
+            dirty = False
+            j = 0
+            if eobrun == 0:
+                while j < width:
+                    while nbits < 16:
+                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
+                        pos += 1
+                        nbits += 8
+                    look = (acc >> (nbits - 16)) & 0xFFFF
+                    ln = acl[look]
+                    if not ln:
+                        raise JfifError("bad Huffman code (AC refine)")
+                    nbits -= ln
+                    rs = acs[look]
+                    s = rs & 15
+                    r = rs >> 4
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            if r:
+                                while nbits < r:
+                                    acc = (
+                                        (acc << 8) | (data[pos] if pos < n else 0xFF)
+                                    ) & 0xFFFFFFFF
+                                    pos += 1
+                                    nbits += 8
+                                nbits -= r
+                                eobrun = (1 << r) + ((acc >> nbits) & ((1 << r) - 1))
+                            else:
+                                eobrun = 1
+                            break
+                    else:
+                        if not nbits:
+                            acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
+                            pos += 1
+                            nbits += 8
+                        nbits -= 1
+                        newval = p1 if (acc >> nbits) & 1 else m1
+                    while j < width:
+                        cv = band[j]
+                        if cv:
+                            if not nbits:
+                                acc = (
+                                    (acc << 8) | (data[pos] if pos < n else 0xFF)
+                                ) & 0xFFFFFFFF
+                                pos += 1
+                                nbits += 8
+                            nbits -= 1
+                            if (acc >> nbits) & 1 and not (cv & p1):
+                                band[j] = cv + (p1 if cv >= 0 else m1)
+                                dirty = True
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        j += 1
+                    if s:
+                        if j >= width:
+                            raise JfifError("AC index out of range (refine)")
+                        band[j] = newval
+                        dirty = True
+                    j += 1
+            if eobrun > 0:
+                while j < width:
+                    cv = band[j]
+                    if cv:
+                        if not nbits:
+                            acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
+                            pos += 1
+                            nbits += 8
+                        nbits -= 1
+                        if (acc >> nbits) & 1 and not (cv & p1):
+                            band[j] = cv + (p1 if cv >= 0 else m1)
+                            dirty = True
+                    j += 1
+                eobrun -= 1
+            if dirty:
+                row[ss : se + 1] = band
+            b += 1
+        done = end
+        seg_idx += 1
+
+
 def _decode_scan(frame, comps, scan) -> None:
     by_id = {c.cid: c for c in comps}
     sel = [(by_id[cs], td, ta) for cs, td, ta in scan["sel"]]
@@ -460,12 +630,16 @@ def _decode_scan(frame, comps, scan) -> None:
         _decode_baseline_scan(frame, comps, scan)
         return
     ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if ss != 0:  # progressive AC scans are single-component by spec
+        comp, _td, ta = sel[0]
+        _decode_prog_ac_scan(comp, scan["ac"][ta], ss, se, ah, al, scan["segments"], scan["ri"])
+        return
     interleaved = len(sel) > 1
     ri = scan["ri"]
     segments = scan["segments"]
 
     if interleaved:
-        # MCU-ordered scan (baseline full scans; progressive DC scans)
+        # MCU-ordered PROGRESSIVE DC scan (interleaved AC is illegal)
         total_mcus = frame["mcus_x"] * frame["mcus_y"]
         mcu = 0
         seg_idx = 0
@@ -476,16 +650,12 @@ def _decode_scan(frame, comps, scan) -> None:
             end = min(mcu + per_mcu, total_mcus)
             while mcu < end:
                 my, mx = divmod(mcu, frame["mcus_x"])
-                for comp, td, ta in sel:
+                for comp, td, _ta in sel:
                     for by in range(comp.v):
                         for bx in range(comp.h):
                             bi = (my * comp.v + by) * comp.bw + (mx * comp.h + bx)
                             row = comp.coefs[bi]
-                            if not progressive:
-                                _block_baseline(
-                                    br, row, scan["dc"][td], scan["ac"][ta], pred, comp.cid
-                                )
-                            elif ah == 0:  # DC first (interleaved AC is illegal)
+                            if ah == 0:  # DC first
                                 s = _decode_sym(br, scan["dc"][td])
                                 pred[comp.cid] += _extend(br.receive(s), s)
                                 row[0] = pred[comp.cid] << al
@@ -500,19 +670,17 @@ def _decode_scan(frame, comps, scan) -> None:
                 pred = {c.cid: 0 for c, _, _ in sel}
         return
 
-    # non-interleaved scan: ONE component on its OWN block grid
-    # (ceil(comp dims / 8), no MCU padding — T.81 A.2.2). Handles
-    # baseline single-component scans, progressive DC (first/refine)
-    # and progressive AC (first/refine).
+    # non-interleaved PROGRESSIVE DC scan: ONE component on its OWN
+    # block grid (ceil(comp dims / 8), no MCU padding — T.81 A.2.2).
+    # Baseline goes through _decode_baseline_scan and progressive AC
+    # through _decode_prog_ac_scan above.
     comp, td, ta = sel[0]
     bw = -(-comp.w // 8)
     bh = -(-comp.hgt // 8)
     total = bw * bh
     seg_idx = 0
     br = BitReader(segments[0])
-    eobrun = 0
     pred = {comp.cid: 0}
-    ac_tbl = scan["ac"].get(ta)
     per = ri if ri else total
     b = 0
     while b < total:
@@ -520,108 +688,19 @@ def _decode_scan(frame, comps, scan) -> None:
         while b < end:
             by, bx = divmod(b, bw)
             row = comp.coefs[by * comp.bw + bx]
-            if not progressive:
-                _block_baseline(br, row, scan["dc"][td], ac_tbl, pred, comp.cid)
-            elif ss == 0 and ah == 0:
+            if ah == 0:
                 s = _decode_sym(br, scan["dc"][td])
                 pred[comp.cid] += _extend(br.receive(s), s)
                 row[0] = pred[comp.cid] << al
-            elif ss == 0:
+            else:
                 if br.read_bit():
                     row[0] |= 1 << al
-            elif ah == 0:
-                eobrun = _block_ac_first(br, row, ac_tbl, ss, se, al, eobrun)
-            else:
-                eobrun = _block_ac_refine(br, row, ac_tbl, ss, se, al, eobrun)
             b += 1
         if b < total:
             seg_idx += 1
             if seg_idx < len(segments):
                 br = BitReader(segments[seg_idx])
-            eobrun = 0
             pred = {comp.cid: 0}
-
-
-def _block_baseline(br, row, dc_tbl, ac_tbl, pred, cid) -> None:
-    s = _decode_sym(br, dc_tbl)
-    diff = _extend(br.receive(s), s)
-    pred[cid] += diff
-    row[0] = pred[cid]
-    k = 1
-    while k < 64:
-        rs = _decode_sym(br, ac_tbl)
-        r, s = rs >> 4, rs & 15
-        if s == 0:
-            if r != 15:
-                break  # EOB
-            k += 16  # ZRL
-            continue
-        k += r
-        if k > 63:
-            raise JfifError("AC index out of range")
-        row[k] = _extend(br.receive(s), s)  # zigzag order; dezigzag in iDCT
-        k += 1
-
-
-def _block_ac_first(br, row, ac_tbl, ss, se, al, eobrun) -> int:
-    if eobrun:
-        return eobrun - 1
-    k = ss
-    while k <= se:
-        rs = _decode_sym(br, ac_tbl)
-        r, s = rs >> 4, rs & 15
-        if s == 0:
-            if r != 15:
-                eobrun = (1 << r) + br.receive(r) - 1
-                break
-            k += 16
-            continue
-        k += r
-        if k > se:
-            raise JfifError("AC index out of range (progressive first)")
-        row[k] = _extend(br.receive(s), s) << al
-        k += 1
-    return eobrun
-
-
-def _block_ac_refine(br, row, ac_tbl, ss, se, al, eobrun) -> int:
-    # T.81 G.2.2 AC successive-approximation refinement
-    p1 = 1 << al
-    m1 = -1 << al
-    k = ss
-    if eobrun == 0:
-        while k <= se:
-            rs = _decode_sym(br, ac_tbl)
-            r, s = rs >> 4, rs & 15
-            if s == 0:
-                if r != 15:
-                    eobrun = (1 << r) + br.receive(r)
-                    break
-            else:
-                s = p1 if br.read_bit() else m1
-            while k <= se:
-                if row[k] != 0:
-                    if br.read_bit() and (row[k] & p1) == 0:
-                        row[k] += p1 if row[k] >= 0 else m1
-                else:
-                    if r == 0:
-                        break
-                    r -= 1
-                k += 1
-            if rs & 15:
-                if k > se:
-                    raise JfifError("AC index out of range (refine)")
-                row[k] = s
-            k += 1
-    if eobrun > 0:
-        # refinement bits for remaining nonzero coefficients in band
-        while k <= se:
-            if row[k] != 0:
-                if br.read_bit() and (row[k] & p1) == 0:
-                    row[k] += p1 if row[k] >= 0 else m1
-            k += 1
-        eobrun -= 1
-    return eobrun
 
 
 # ---------------------------------------------------------------------------
