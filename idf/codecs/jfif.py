@@ -832,6 +832,67 @@ def decode_jfif_luma_scaled(data, min_dim: int = 32) -> tuple[np.ndarray, int, i
 
 
 # ---------------------------------------------------------------------------
+# EXIF orientation (APP1 / TIFF tag 0x0112)
+
+
+def exif_orientation(data) -> int:
+    """Real EXIF orientation (1..8) from a JPEG's APP1 segment, or 1.
+
+    Parses the public TIFF structure inside ``Exif\\x00\\x00`` (byte
+    order II/MM, IFD0 entry walk, SHORT tag 0x0112). 'Safe' semantics
+    like the reference's ``readOrientationSafe`` (core/Exif.java:57-59,
+    which ships stubbed to 1): anything absent or malformed -> 1. The
+    reference's own fixture (fixtures/exif-tests/no-orientation.jpg)
+    and hand-built APP1 segments pin this in tests/test_exif.py."""
+    try:
+        data = bytes(data[:65536]) if not isinstance(data, (bytes, bytearray)) else data
+        if data[:2] != b"\xff\xd8":
+            return 1
+        i, n = 2, len(data)
+        while i + 4 <= n and data[i] == 0xFF:
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker in (0xDA, 0xD9):  # SOS/EOI: no APP1 seen
+                return 1
+            ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
+                t = data[i + 10 : i + 2 + ln]  # TIFF stream
+                if t[:2] == b"II":
+                    u16, u32 = "<H", "<I"
+                elif t[:2] == b"MM":
+                    u16, u32 = ">H", ">I"
+                else:
+                    return 1
+                if struct.unpack_from(u16, t, 2)[0] != 42:
+                    return 1
+                ifd = struct.unpack_from(u32, t, 4)[0]
+                count = struct.unpack_from(u16, t, ifd)[0]
+                for e in range(count):
+                    ofs = ifd + 2 + 12 * e
+                    tag, typ = struct.unpack_from(u16 + u16[-1], t, ofs)
+                    if tag == 0x0112 and typ == 3:  # SHORT
+                        v = struct.unpack_from(u16, t, ofs + 8)[0]
+                        return v if 1 <= v <= 8 else 1
+                return 1
+            i += 2 + ln
+        return 1
+    except Exception:
+        return 1
+
+
+def _exif_app1(orientation: int) -> bytes:
+    """Minimal valid APP1 Exif segment carrying tag 0x0112 (II order)."""
+    tiff = b"II*\x00" + struct.pack("<I", 8)
+    tiff += struct.pack("<H", 1)  # one IFD0 entry
+    tiff += struct.pack("<HHIHH", 0x0112, 3, 1, int(orientation), 0)
+    tiff += struct.pack("<I", 0)  # no next IFD
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+# ---------------------------------------------------------------------------
 # baseline JFIF encoder
 #
 # Wire-format JPEG output (SOI/APP0/DQT/SOF0/DHT/[DRI]/SOS/EOI) so tests
@@ -961,12 +1022,14 @@ def encode_jfif(
     quality: int = 90,
     subsampling: str = "420",
     restart_interval: int = 0,
+    orientation: int | None = None,
 ) -> bytes:
     """RGB uint8 (H, W, 3) or gray (H, W) -> baseline JFIF bytes.
 
     ``subsampling``: '420' (2x2 chroma boxes, the common camera layout)
     or '444'. ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs (exercises segmented entropy decode)."""
+    that many MCUs (exercises segmented entropy decode). ``orientation``
+    writes a real APP1 Exif segment (TIFF tag 0x0112)."""
     from idf.codecs.fjpg import _quant_tables, _rgb_to_ycbcr
 
     gray = img.ndim == 2
@@ -1011,6 +1074,8 @@ def encode_jfif(
     # headers
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
+    if orientation is not None:
+        out += _exif_app1(orientation)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qyz.astype(np.uint8))
     if not gray:
         out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(qcz.astype(np.uint8))

@@ -245,15 +245,17 @@ class ImageThumbnailer:
         ids = t["image_id"].to_pylist()
         blobs = t["bytes"].to_pylist()
         fmts = t["fmt"].to_pylist() if "fmt" in t.column_names else [None] * len(ids)
-        orients = (
-            t["orientation"].to_pylist()
-            if "orientation" in t.column_names
-            else [1] * len(ids)
-        )
+        have_orient_col = "orientation" in t.column_names
+        orients = t["orientation"].to_pylist() if have_orient_col else [None] * len(ids)
         out_id, out_bytes, out_w, out_h, out_status = [], [], [], [], []
         for image_id, data, fmt, orient in zip(ids, blobs, fmts, orients):
             try:
                 img = self._decode(data, fmt)
+                if orient is None and bytes(data[:3]) == b"\xff\xd8\xff":
+                    # real JPEG, no orientation column: read APP1 Exif
+                    from idf.codecs.jfif import exif_orientation
+
+                    orient = exif_orientation(data)
                 img = self._orient(img, int(orient or 1))
                 h, w = img.shape[:2]
                 scale = self.max_side / max(h, w)

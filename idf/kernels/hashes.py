@@ -118,10 +118,20 @@ def hash_bytes(data: bytes, algo: str = "phash") -> tuple[int, int, int]:
 
     The single source of truth for hashing stored images: the engine's
     decode stage, the oracle, and the synthetic corpus's phash column
-    all call this, so hash equality across them is exact."""
-    from idf.codecs import decode_luma_scaled
+    all call this, so hash equality across them is exact. Real-JPEG
+    bytes carrying an APP1 Exif orientation are normalized (M1) exactly
+    like the decode stage does when no orientation column overrides."""
+    from idf.codecs import decode_luma_scaled, sniff
 
     gray, oh, ow = decode_luma_scaled(data, min_dim=DECODE_MIN_DIM[algo])
+    head = bytes(data[:8]) if not isinstance(data, bytes) else data[:8]
+    if sniff(head) == "jfif":
+        from idf.codecs.jfif import exif_orientation
+        from idf.kernels.exif import exif_transform
+
+        o = exif_orientation(data)
+        if o != 1:
+            gray = exif_transform(gray, o)
     return hash_image(gray, algo), oh, ow
 
 

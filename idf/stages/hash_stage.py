@@ -85,6 +85,15 @@ class DecodeHasher:
                 continue
             if orients is not None and orients[i] is not None:
                 gray = exif_transform(gray, orients[i])
+            elif bytes(data[:3]) == b"\xff\xd8\xff":
+                # real JPEG without an orientation column: honor the
+                # APP1 Exif orientation from the bytes themselves (M1;
+                # hash_bytes — the oracle/synth path — does the same)
+                from idf.codecs.jfif import exif_orientation
+
+                o = exif_orientation(data)
+                if o != 1:
+                    gray = exif_transform(gray, o)
             grays[i] = preprocess(gray, *self.dims)
             pixels[i] = oh * ow  # A4 metadata: ORIGINAL dims, not decode scale
             sizes[i] = len(data)

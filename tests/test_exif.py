@@ -111,3 +111,101 @@ def test_hash_stage_applies_orientation(ray_session):
     out = hash_stage(rd.from_arrow(tbl(rows)), DedupConfig()).to_pandas().set_index("image_id")
     assert out.loc["up", "phash"] == out.loc["rot-fixed", "phash"]
     assert out.loc["up", "phash"] != out.loc["rot-raw", "phash"]
+
+
+def test_exif_orientation_parse_real():
+    """Real APP1/TIFF orientation parse (beyond the reference's stubbed
+    readOrientationSafe, core/Exif.java:57-59): every value written by
+    the in-repo encoder reads back; absent/malformed -> safe 1."""
+    from idf.codecs.jfif import _exif_app1, encode_jfif, exif_orientation
+
+    img = np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3)
+    assert exif_orientation(encode_jfif(img, quality=90)) == 1  # no APP1
+    for o in range(1, 9):
+        assert exif_orientation(encode_jfif(img, quality=90, orientation=o)) == o
+    # big-endian TIFF variant
+    app1_le = _exif_app1(6)
+    data = encode_jfif(img, quality=90)
+    mm = app1_le.replace(b"II*\x00\x08\x00\x00\x00", b"MM\x00*\x00\x00\x00\x08")
+    mm = mm.replace(
+        b"\x01\x00\x12\x01\x03\x00\x01\x00\x00\x00\x06\x00\x00\x00",
+        b"\x00\x01\x01\x12\x00\x03\x00\x00\x00\x01\x00\x06\x00\x00",
+    )
+    assert exif_orientation(data[:2] + mm + data[2:]) == 6
+    # malformed / absent / non-jpeg
+    assert exif_orientation(b"\xff\xd8\xff\xe1\x00\x08Exif\x00\x00") == 1
+    assert exif_orientation(b"not a jpeg") == 1
+    assert exif_orientation(data[:2] + b"\xff\xe1\x00\x10Exif\x00\x00XXtrash" + data[2:]) == 1
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/reference/fixtures/exif-tests"),
+    reason="reference fixtures absent",
+)
+def test_exif_orientation_reference_fixture():
+    """ExifTest.java:19 parity: no-orientation.jpg reads as 1."""
+    from idf.codecs.jfif import exif_orientation
+
+    data = open("/root/reference/fixtures/exif-tests/no-orientation.jpg", "rb").read()
+    assert exif_orientation(data) == 1
+
+
+def test_exif_bytes_fallback_matches_column(ray_session):
+    """A real JPEG whose EXIF says orientation=6, hashed WITHOUT an
+    orientation column, equals the same pixels hashed WITH column=6 —
+    the stage's bytes-level fallback and the column path are one
+    semantic (and hash_bytes, the oracle/synth path, agrees)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from idf.codecs.jfif import encode_jfif
+    from idf.config import DedupConfig
+    from idf.kernels.hashes import hash_bytes
+    from idf.stages.hash_stage import hash_stage
+
+    rng = np.random.default_rng(8)
+    yy, xx = np.mgrid[0:80, 0:64]
+    img = np.clip(
+        np.stack([xx * 3, yy * 2, xx + yy], axis=-1) % 256 + rng.normal(0, 2, (80, 64, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    plain = encode_jfif(img, quality=92)
+    tagged = encode_jfif(img, quality=92, orientation=6)
+
+    def tbl(rows, with_col):
+        cols = {
+            "image_id": pa.array([r[0] for r in rows]),
+            "bytes": pa.array([r[1] for r in rows], pa.binary()),
+            "fmt": pa.array(["jpg"] * len(rows)),
+            "caption": pa.array([""] * len(rows)),
+        }
+        if with_col:
+            cols["orientation"] = pa.array([r[2] for r in rows], pa.int32())
+        return pa.table(cols)
+
+    got_fallback = (
+        hash_stage(rd.from_arrow(tbl([("x", tagged, None)], False)), DedupConfig())
+        .to_pandas()
+        .set_index("image_id")
+    )
+    got_column = (
+        hash_stage(rd.from_arrow(tbl([("x", plain, 6)], True)), DedupConfig())
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert got_fallback.loc["x", "phash"] == got_column.loc["x", "phash"]
+    # column (when present) wins over bytes: EXIF=6 with column=1 == plain
+    got_override = (
+        hash_stage(rd.from_arrow(tbl([("x", tagged, 1)], True)), DedupConfig())
+        .to_pandas()
+        .set_index("image_id")
+    )
+    got_plain = (
+        hash_stage(rd.from_arrow(tbl([("x", plain, 1)], True)), DedupConfig())
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert got_override.loc["x", "phash"] == got_plain.loc["x", "phash"]
+    # oracle path (hash_bytes) agrees with the stage's fallback
+    assert hash_bytes(tagged)[0] == np.uint64(got_fallback.loc["x", "phash"]).item()
