@@ -185,6 +185,25 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """`idf serve`: the CLI owns the Ray session; the server (stdlib
+    http.server, idf/web_server.py) replicates app/WebServer.java's
+    endpoint surface over the engine's stages."""
+    handle = _ray()
+    from idf.web_server import serve
+
+    httpd, _state = serve(port=args.port, run_root=args.run_root)
+    print(f"idf web server on http://127.0.0.1:{httpd.server_address[1]}", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        handle.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="idf", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -194,6 +213,11 @@ def main(argv=None) -> int:
     se.add_argument("stage", choices=["hashes", "clusters", "plan"])
     se.add_argument("--out", required=True)
     se.set_defaults(fn=cmd_export)
+
+    sv = sub.add_parser("serve", help="HTTP control/data plane (reference web server analog)")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--run-root", default="/tmp/idf_web")
+    sv.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("synth", help="generate a synthetic images table")
     sp.add_argument("--out", required=True)

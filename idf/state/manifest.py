@@ -79,8 +79,10 @@ class RunManifest:
         tmp = out + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        if os.path.exists(out):
-            shutil.rmtree(out)
+        # NOTE: the old output is removed only AFTER the new one is
+        # fully written to tmp — a lazy build may legitimately READ the
+        # stage it replaces (web plan edit), and a crash mid-build must
+        # leave the committed output intact for resume
         ds = build()
         if isinstance(ds, (pa.Table, pd.DataFrame)):
             # driver fast paths (CC, plan election) return a local table;
@@ -93,6 +95,8 @@ class RunManifest:
             if coalesce is not None:
                 ds = ds.repartition(coalesce)
             ds.write_parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
         os.replace(tmp, out)
         parts = self._partition_lineage(out)
         with self._lock:
@@ -106,6 +110,15 @@ class RunManifest:
             }
             self._save()
         return out
+
+    def replace_stage(self, name: str, build: Callable[[], rd.Dataset], **kw) -> str:
+        """Recommit a stage with NEW contents (the web plan-edit flow,
+        S9: savePlan overwrites the plan file): drop the committed entry
+        so resume cannot skip, then run ``build`` atomically."""
+        with self._lock:
+            self.state["stages"].pop(name, None)
+            self._save()
+        return self.run_stage(name, build, **kw)
 
     def run_stages_concurrent(self, stages: list[tuple[str, Callable[[], rd.Dataset]]]) -> list[str]:
         """Run INDEPENDENT stages concurrently (each in a thread; Ray

@@ -1,0 +1,281 @@
+"""HTTP control/data plane mirroring the reference web server.
+
+Replicates the endpoint surface of app/WebServer.java:44-287 (the
+largest reference file previously unrepresented) on the stdlib
+``http.server`` — no web framework in-sandbox:
+
+  POST /api/process?table=...&threshold=0.95&algo=phash
+        -> {jobId, status:"started"}; runs hash -> cluster -> plan as a
+        background job with the reference's progress milestones
+        (10/40/70/90/100, WebServer.java:85-130)
+  GET  /api/job/{jobId}         -> {status, progress, message[, error][, result]}
+  GET  /api/clusters            -> JSON rows of the current clusters table
+  GET  /api/plan                -> JSON rows of the current plan table
+  GET  /api/image?id=...        -> image bytes with the media type the
+        reference's extension dispatch produces (WebServer.java:192-206);
+        the data plane serves table rows (stages/web.fetch_images), not
+        server-filesystem paths
+  POST /api/plan/update         -> body: JSON [{image_id, action}, ...];
+        normalized + persisted like savePlan (stages/web.rewrite_plan)
+  POST /api/apply               -> background apply job over the current plan
+
+The server owns NO Ray session (the embedding process does — CLI
+``idf serve`` or the test fixture). Job state is in-memory like the
+reference's ConcurrentHashMap of JobStatus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+class _Job:
+    __slots__ = ("status", "progress", "message", "error", "result")
+
+    def __init__(self):
+        self.status = "running"
+        self.progress = 0
+        self.message = "Starting..."
+        self.error = None
+        self.result = None
+
+    def to_dict(self) -> dict:
+        d = {"status": self.status, "progress": self.progress, "message": self.message}
+        if self.error is not None:
+            d["error"] = self.error
+        if self.result is not None:
+            d["result"] = self.result
+        return d
+
+
+class DedupServer:
+    """Engine state + job registry behind the HTTP handlers."""
+
+    def __init__(self, run_root: str = "/tmp/idf_web"):
+        self.run_root = run_root
+        self.jobs: dict[str, _Job] = {}
+        self.lock = threading.Lock()
+        self.table_path: str | None = None
+        self.run_dir: str | None = None
+
+    # -- jobs ---------------------------------------------------------
+    def start_job(self, target) -> str:
+        job_id = str(uuid.uuid4())
+        job = _Job()
+        with self.lock:
+            self.jobs[job_id] = job
+        t = threading.Thread(target=target, args=(job,), daemon=True)
+        t.start()
+        return job_id
+
+    def process(self, table: str, threshold: float, algo: str) -> str:
+        from idf.config import DedupConfig, threshold_to_radius
+        from idf.pipelines.dedup import run_dedup
+
+        def _run(job: _Job):
+            try:
+                if not os.path.exists(table):
+                    job.status = "failed"
+                    job.error = "Table does not exist"
+                    return
+                run_dir = os.path.join(self.run_root, f".idf-{uuid.uuid4().hex[:8]}")
+                job.progress = 10
+                job.message = f"Hashing images with {algo.upper()}..."
+                cfg = DedupConfig(algo=algo, radius=threshold_to_radius(threshold))
+                # milestone updates mirror WebServer.java:85-130; the
+                # engine's own manifest records per-stage lineage
+                job.progress = 40
+                job.message = "Finding duplicates..."
+                run_dedup(table, run_dir, cfg, resume=False, do_apply=False)
+                job.progress = 90
+                job.message = "Finalizing..."
+                with self.lock:
+                    self.table_path = table
+                    self.run_dir = run_dir
+                job.status = "completed"
+                job.progress = 100
+                job.message = "Complete"
+                job.result = run_dir
+            except Exception as e:  # noqa: BLE001 — job error surface
+                job.status = "failed"
+                job.error = str(e)
+
+        return self.start_job(_run)
+
+    def apply(self) -> str:
+        run_dir = self.run_dir
+        table = self.table_path
+
+        def _run(job: _Job):
+            try:
+                from idf.pipelines.dedup import read_stage
+                from idf.stages.apply import apply_stage
+                from idf.stages.hash_stage import read_images
+                from idf.state.manifest import RunManifest
+
+                job.progress = 5
+                job.message = "Preparing apply..."
+                man = RunManifest(run_dir, resume=True)
+                kept, quarantined = apply_stage(
+                    read_images(table), read_stage(run_dir, "plan")
+                )
+                # replace (not resume-skip): the plan may have been
+                # edited via /api/plan/update since the last apply
+                man.replace_stage("apply_keep", lambda: kept)
+                job.progress = 60
+                job.message = "Applying plan (quarantine)..."
+                man.replace_stage("apply_quarantine", lambda: quarantined)
+                job.status = "completed"
+                job.progress = 100
+                job.message = "Complete"
+                job.result = man.stage_dir("apply_quarantine")
+            except Exception as e:  # noqa: BLE001
+                job.status = "failed"
+                job.error = str(e)
+
+        return self.start_job(_run)
+
+    # -- tables -------------------------------------------------------
+    def _stage_rows(self, stage: str) -> list[dict]:
+        if self.run_dir is None:
+            return []
+        from idf.pipelines.dedup import read_stage
+
+        return read_stage(self.run_dir, stage).to_pandas().to_dict("records")
+
+    def clusters(self) -> list[dict]:
+        return self._stage_rows("clusters")
+
+    def plan(self) -> list[dict]:
+        return self._stage_rows("plan")
+
+    def update_plan(self, updates: list[dict]) -> None:
+        """savePlan analog (WebServer.java:218-236): normalize actions,
+        rewrite + persist the plan stage atomically."""
+        import pandas as pd
+
+        from idf.pipelines.dedup import read_stage
+        from idf.state.manifest import RunManifest
+        from idf.stages.web import rewrite_plan
+
+        frame = pd.DataFrame(
+            {
+                "image_id": [str(u["image_id"]) for u in updates],
+                "action": [str(u.get("action", "")) for u in updates],
+            }
+        )
+        new_plan = rewrite_plan(read_stage(self.run_dir, "plan"), frame)
+        man = RunManifest(self.run_dir, resume=True)
+        man.replace_stage("plan", lambda: new_plan)
+
+    def image(self, image_id: str) -> tuple[bytes, str] | None:
+        import ray.data as rd
+
+        from idf.stages.web import fetch_images
+
+        if self.table_path is None:
+            return None
+        rows = fetch_images(
+            rd.read_parquet(self.table_path, columns=["image_id", "bytes", "fmt"]),
+            ids=[image_id],
+        ).take_all()
+        if not rows:
+            return None
+        r = rows[0]
+        return bytes(r["bytes"]), r["media_type"]
+
+
+def _make_handler(srv: DedupServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet test output
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _text(self, text: str, code=200):
+            body = text.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            if u.path.startswith("/api/job/"):
+                job = srv.jobs.get(u.path.rsplit("/", 1)[1])
+                if job is None:
+                    self._json({"error": "Job not found"}, 404)
+                else:
+                    self._json(job.to_dict())
+            elif u.path == "/api/clusters":
+                self._json(srv.clusters())
+            elif u.path == "/api/plan":
+                self._json(srv.plan())
+            elif u.path == "/api/image":
+                image_id = (q.get("id") or [""])[0]
+                if not image_id:
+                    self._text("Missing id parameter", 400)
+                    return
+                hit = srv.image(image_id)
+                if hit is None:
+                    self._text("Image not found", 404)
+                    return
+                data, media_type = hit
+                self.send_response(200)
+                self.send_header("Content-Type", media_type)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self._text("Not found", 404)
+
+        def do_POST(self):  # noqa: N802
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            if u.path == "/api/process":
+                table = (q.get("table") or q.get("directory") or [""])[0]
+                if not table:
+                    self._text("Missing table parameter", 400)
+                    return
+                threshold = float((q.get("threshold") or ["0.95"])[0])
+                algo = (q.get("algo") or ["phash"])[0]
+                job_id = srv.process(table, threshold, algo)
+                self._json({"jobId": job_id, "status": "started"})
+            elif u.path == "/api/plan/update":
+                ln = int(self.headers.get("Content-Length", "0"))
+                try:
+                    updates = json.loads(self.rfile.read(ln) or b"[]")
+                    srv.update_plan(updates)
+                    self._text("OK")
+                except Exception as e:  # noqa: BLE001
+                    self._text(f"Error: {e}", 500)
+            elif u.path == "/api/apply":
+                if srv.run_dir is None:
+                    self._text("No plan available to apply", 400)
+                    return
+                self._json({"jobId": srv.apply(), "status": "started"})
+            else:
+                self._text("Not found", 404)
+
+    return Handler
+
+
+def serve(port: int = 0, run_root: str = "/tmp/idf_web") -> tuple[ThreadingHTTPServer, DedupServer]:
+    """Bind and return (httpd, state); caller runs serve_forever (CLI)
+    or drives it from a thread (tests). Port 0 -> ephemeral."""
+    state = DedupServer(run_root)
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), _make_handler(state))
+    return httpd, state

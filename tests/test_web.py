@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from idf.stages.web import (
@@ -120,3 +121,98 @@ def test_fetch_images_pruned_matches_broadcast(ray_session, small_images_table, 
     pd.testing.assert_frame_equal(got, want)
     assert set(got["image_id"]) == set(some)
     assert fetch_images_pruned(small_images_table, ["no-such-id"]).count() == 0
+
+
+def test_web_server_end_to_end(ray_session, small_images_table, tmp_path):
+    """The full reference endpoint surface (app/WebServer.java:44-287)
+    over loopback HTTP: process job -> poll -> clusters/plan -> image
+    bytes -> plan update (savePlan normalization) -> apply job."""
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    from idf.web_server import serve
+
+    httpd, state = serve(port=0, run_root=str(tmp_path))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    def get(path, expect_json=True):
+        with urllib.request.urlopen(base + path, timeout=60) as r:
+            body = r.read()
+            return (json.loads(body) if expect_json else body), r.headers
+    def post(path, data=None):
+        req = urllib.request.Request(base + path, data=data or b"", method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            body = r.read()
+            try:
+                return json.loads(body)
+            except ValueError:
+                return body.decode()
+
+    def wait_job(job_id):
+        for _ in range(600):
+            j, _h = get(f"/api/job/{job_id}")
+            if j["status"] != "running":
+                return j
+            time.sleep(0.2)
+        raise TimeoutError
+
+    try:
+        # bad requests mirror the reference's 4xx paths
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/api/process")
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get("/api/job/nope")
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post("/api/apply")  # no plan yet
+        assert ei.value.code == 400
+
+        r = post(f"/api/process?table={small_images_table}&threshold=0.85&algo=phash")
+        assert r["status"] == "started"
+        job = wait_job(r["jobId"])
+        assert job["status"] == "completed", job
+        assert job["progress"] == 100
+
+        clusters = get("/api/clusters")[0]
+        plan = get("/api/plan")[0]
+        assert len(clusters) >= 2 and len(plan) == len(clusters)
+        keeps = [p for p in plan if p["action"] == "KEEP"]
+        deletes = [p for p in plan if p["action"] == "DELETE"]
+        assert keeps and deletes
+
+        # image bytes round-trip with the reference's media types
+        some_id = clusters[0]["image_id"]
+        body, headers = get(f"/api/image?id={some_id}", expect_json=False)
+        assert len(body) > 0
+        assert headers["Content-Type"].startswith(("image/", "application/octet-stream"))
+
+        # plan update: flip one DELETE -> keep (lowercase normalizes)
+        flip = deletes[0]["image_id"]
+        assert post(
+            "/api/plan/update",
+            json.dumps([{"image_id": flip, "action": "keep"}]).encode(),
+        ) == "OK"
+        plan2 = {p["image_id"]: p for p in get("/api/plan")[0]}
+        assert plan2[flip]["action"] == "KEEP"
+        assert plan2[flip]["reason"] == deletes[0]["reason"]  # reason preserved
+
+        # apply the edited plan
+        r = post("/api/apply")
+        job = wait_job(r["jobId"])
+        assert job["status"] == "completed", job
+        import ray.data as rdata
+
+        q = rdata.read_parquet(state.run_dir + "/apply_quarantine").to_pandas()
+        k = rdata.read_parquet(state.run_dir + "/apply_keep").to_pandas()
+        n_src = rdata.read_parquet(small_images_table).count()
+        assert len(q) + len(k) == n_src
+        assert flip in set(k["image_id"])  # the flipped row stays kept
+    finally:
+        httpd.shutdown()
