@@ -413,10 +413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_plan_rewrite": img_plan_rewrite,
         "img_fetch": img_fetch,
         "img_thumbs": img_thumbs,
-        # multimodal scaffolds (rows-only): the driver exercises the
-        # actor-pool plumbing over deterministic synthetic media tables;
-        # the codec decode is a clearly-marked stub (tests assert strict
-        # mode raises NotImplementedError)
+        # multimodal (rows-only: SQL cannot parse WAV/y4m bytes): REAL
+        # RIFF/PCM and YUV4MPEG2 decodes over deterministic synthetic
+        # media tables; features are codec-verified in tests/test_media.py
         "media_audio_features": lambda sf: __media_audio(),
         "media_video_frames": lambda sf: __media_video(),
         "orders_top1_per_cust": orders_top1_per_cust,
