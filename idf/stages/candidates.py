@@ -366,20 +366,21 @@ def band_edges(
         if int_pairs
         else make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap, collapse_identical)
     )
-    # exchange=False: the raw-task exchange measured 2x faster than
-    # this sort STANDALONE (2.6s vs 5.1s at sf0.1/32cpu) but a WASH
-    # inside the pipeline (best-of-3 interleaved: 16.54s vs 16.66s) —
-    # the two edge stages run concurrently and already overlap the
-    # sort's coordination. The expanded banding table is also the
-    # pipeline's LARGEST intermediate, so the spill-managed streaming
-    # sort (not exchange's whole-input materialize) is the 100-TB
-    # shape here (r2 ADVICE, medium).
+    # exchange=None (size-gated auto): at 32 CPUs the exchange is a
+    # WASH in-pipeline vs the streaming sort (r2 best-of-3: 16.54s vs
+    # 16.66s — the two concurrent edge stages overlap the sort's
+    # coordination), but at 4-16 CPUs the sort's fixed coordination
+    # dominates the stage wall and the exchange wins outright
+    # (r3 measured: edges 5.1/4.3s -> 3.9/3.4s at 16 CPUs; pipeline
+    # 4->16 scaling 0.76 -> 0.81). The expanded banding table is the
+    # pipeline's LARGEST intermediate, so the byte gate keeps the
+    # 100-TB shape: above IDF_EXCHANGE_MAX_BYTES the stage falls back
+    # to the spill-managed streaming sort (r2 ADVICE, medium).
     return bucketed_apply(
         expanded,
         "key",
         fn,
-        polars_sort=True,  # key/id/phash: all primitive columns
-        exchange=False,
+        polars_sort=True,  # sort engine (above the gate): all-primitive columns
     )
 
 
@@ -441,10 +442,10 @@ def caption_edges(
         if int_pairs
         else make_bucket_pairs_fn(cfg.radius, cfg.bucket_cap)
     )
-    # exchange=False: same rationale as band_edges — the expanded
-    # caption-band table is huge and the concurrent sort already
-    # overlaps coordination; keep the spill-managed streaming sort.
-    return bucketed_apply(banded, "key", fn, polars_sort=True, exchange=False)
+    # exchange=None (size-gated auto): same rationale as band_edges —
+    # exchange below the byte gate (wins at low CPU counts, wash at 32),
+    # spill-managed streaming sort above it (the 100-TB shape).
+    return bucketed_apply(banded, "key", fn, polars_sort=True)
 
 
 def dedup_edges(
