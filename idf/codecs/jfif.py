@@ -52,46 +52,20 @@ class JfifError(ValueError):
 
 
 class HuffTable:
-    __slots__ = (
-        "lut_sym",
-        "lut_len",
-        "maxcode",
-        "valptr",
-        "mincode",
-        "values",
-        "_codes",
-        "lut16_sym",
-        "lut16_len",
-    )
+    __slots__ = ("_codes", "lut16_sym", "lut16_len")
 
     def __init__(self, counts: list[int], values: bytes):
         # canonical codes: lengths 1..16 with counts[l-1] codes each
-        self.values = values
         code = 0
         k = 0
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
         codes_by_len: list[tuple[int, int, int]] = []  # (length, code, symbol)
         for length in range(1, 17):
-            self.valptr[length] = k
-            self.mincode[length] = code
             for _ in range(counts[length - 1]):
                 codes_by_len.append((length, code, values[k]))
                 code += 1
                 k += 1
-            self.maxcode[length] = code - 1
             code <<= 1
         self._codes = codes_by_len
-        # 8-bit fast LUT: any code of length <= 8 resolves in one peek
-        self.lut_sym = np.full(256, -1, dtype=np.int16)
-        self.lut_len = np.zeros(256, dtype=np.int8)
-        for length, c, sym in codes_by_len:
-            if length <= 8:
-                lo = c << (8 - length)
-                hi = lo + (1 << (8 - length))
-                self.lut_sym[lo:hi] = sym
-                self.lut_len[lo:hi] = length
         self.lut16_sym = None
         self.lut16_len = None
 
