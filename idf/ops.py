@@ -258,6 +258,7 @@ def bucketed_apply(
     polars_sort: bool = False,
     exchange: bool | None = None,
     arrow_fn: bool = False,
+    est_bytes: int | None = None,
 ) -> rd.Dataset:
     """Hash-partition rows by ``key`` and apply ``bucket_fn`` (pandas
     in/out, or Arrow in with ``arrow_fn=True``) to each WHOLE co-located
@@ -292,14 +293,19 @@ def bucketed_apply(
     max_bytes = _exchange_max_bytes()
     post_guard = None
     if exchange is None:
-        est = _estimate_bytes(ds)
+        # caller-supplied estimate wins over the metadata probe: a lazy
+        # expanding plan (banding) has no pre-execution metadata size,
+        # but its caller knows the expansion arithmetic — with the hint
+        # the gate decides BEFORE execution instead of after the
+        # exchange's materialize
+        est = est_bytes if est_bytes is not None else _estimate_bytes(ds)
         if est is not None and est > max_bytes:
             exchange = False
         else:
             # size unknown pre-execution: let the exchange enforce the
             # gate after its (unavoidable-either-way) materialize
             exchange = True
-            post_guard = max_bytes
+            post_guard = max_bytes if est is None else None
     if (exchange or os.environ.get("IDF_EXCHANGE")) and not os.environ.get(
         "IDF_NO_EXCHANGE"
     ):

@@ -376,11 +376,22 @@ def band_edges(
     # pipeline's LARGEST intermediate, so the byte gate keeps the
     # 100-TB shape: above IDF_EXCHANGE_MAX_BYTES the stage falls back
     # to the spill-managed streaming sort (r2 ADVICE, medium).
+    # pre-execution size hint: the expanded table is (m * n_masks) rows
+    # of (key, phash[, id]) per input row — the caller-side arithmetic a
+    # lazy plan cannot expose to the gate by metadata alone. x2 covers
+    # parquet->Arrow decode inflation for int64 columns.
+    from idf.ops import _estimate_bytes
+
+    in_bytes = _estimate_bytes(distinct)
+    est = None
+    if in_bytes is not None:
+        est = in_bytes * cfg.n_segments * len(expander.masks) * 2
     return bucketed_apply(
         expanded,
         "key",
         fn,
         polars_sort=True,  # sort engine (above the gate): all-primitive columns
+        est_bytes=est,
     )
 
 
@@ -444,8 +455,20 @@ def caption_edges(
     )
     # exchange=None (size-gated auto): same rationale as band_edges —
     # exchange below the byte gate (wins at low CPU counts, wash at 32),
-    # spill-managed streaming sort above it (the 100-TB shape).
-    return bucketed_apply(banded, "key", fn, polars_sort=True)
+    # spill-managed streaming sort above it (the 100-TB shape). Size
+    # hint: bands x 16B (key, phash) per input row; caption strings are
+    # dropped before the shuffle, so x4 over the pruned input parquet
+    # bytes is a conservative ceiling.
+    from idf.ops import _estimate_bytes
+
+    in_bytes = _estimate_bytes(hashes_ok)
+    return bucketed_apply(
+        banded,
+        "key",
+        fn,
+        polars_sort=True,
+        est_bytes=None if in_bytes is None else in_bytes * 4,
+    )
 
 
 def dedup_edges(

@@ -238,3 +238,54 @@ def test_dedup_docs_map_scale_path_huge_doc_ids(ray_session):
     assert got.loc[base + 2] == base + 1
     assert got.loc[base + 514] == base + 1
     assert got.loc[base + 513] == base + 513
+
+
+def test_band_edges_size_hint_gates_pre_execution(
+    ray_session, small_images_table, tmp_path, monkeypatch
+):
+    """band_edges passes a caller-side size hint (input bytes x the
+    expansion arithmetic) so the byte gate picks the streaming sort
+    BEFORE execution for huge banding tables — never via the exchange's
+    post-materialize fallback — with identical edges either way."""
+    import pyarrow.parquet as pq
+
+    import idf.ops as ops
+    from idf.config import DedupConfig
+    from idf.oracle import oracle_hash_stage
+    from idf.stages.candidates import band_edges
+    from idf.synth import u64_to_i64
+
+    table = pq.read_table(small_images_table)
+    oh = oracle_hash_stage(table)
+    import pyarrow as pa
+
+    distinct_path = str(tmp_path / "distinct.parquet")
+    pq.write_table(
+        pa.table({"phash": pa.array(sorted({u64_to_i64(h) for h in oh.id2hash.values()}), pa.int64())}),
+        distinct_path,
+    )
+
+    def run():
+        # the stage contract is the pair SET (multiplicity varies with
+        # the engine's partition count and is irrelevant: the same pair
+        # surfaces from many band keys and CC is duplicate-invariant)
+        return (
+            band_edges(rd.read_parquet(distinct_path), DedupConfig(), int_pairs=True)
+            .to_pandas()
+            .drop_duplicates()
+            .sort_values(["phash_a", "phash_b"])
+            .reset_index(drop=True)
+        )
+
+    want = run()
+    before = dict(ops.EXCHANGE_STATS)
+    monkeypatch.setenv("IDF_EXCHANGE_MAX_BYTES", "1")
+    got = run()
+    monkeypatch.delenv("IDF_EXCHANGE_MAX_BYTES")
+    after = dict(ops.EXCHANGE_STATS)
+    pd.testing.assert_frame_equal(got, want)
+    # read-rooted input -> the hint made the decision PRE-execution:
+    # plain sort, not the exchange's post-materialize sort_fallback
+    assert after["sort"] > before["sort"]
+    assert after["sort_fallback"] == before["sort_fallback"]
+    assert after["exchange"] == before["exchange"]
