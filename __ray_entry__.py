@@ -470,6 +470,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_ivf": lambda sf: ivf_topk(_emb(sf), list(range(8)), k=5).select_columns(
             ["vec_id", "neighbor_id", "rank"]
         ),
+        # sign-LSH bucketed pairs: probabilistic recall but a fully
+        # DETERMINISTIC approximation, so the DuckDB oracle replicates
+        # the bucket math exactly (hyperplane literals) and the gate
+        # hash-checks it — unlike ivf_pairs whose sampled training makes
+        # it rows-only
+        "emb_lsh_pairs": lambda sf: __import__("idf.functions.ann", fromlist=["lsh_pairs"])
+        .lsh_pairs(_emb(sf), tau=0.4, n_bits=8, n_tables=4)
+        .select_columns(["vec_id_a", "vec_id_b"]),
         # sub-quadratic approximate near-dup pairs (probabilistic recall
         # -> rows-only check; exact counterpart is emb_cosine_pairs)
         "emb_ivf_pairs": lambda sf: ivf_pairs(_emb(sf), tau=0.4).select_columns(
@@ -1106,4 +1114,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
+        "emb_lsh_pairs": _lsh_pairs_sql(tau=0.4, n_bits=8, n_tables=4, dim=64),
     }
+
+
+def _lsh_pairs_sql(tau: float, n_bits: int, n_tables: int, dim: int) -> str:
+    """Exact SQL replica of idf.functions.ann.lsh_pairs: the SAME
+    hyperplane doubles as literals (repr round-trips float64), the same
+    strict dot > 0 sign rule and per-table disjoint key space, DISTINCT
+    for the cross-table pair dedup, and the same exact cosine verify."""
+    from idf.functions.ann import lsh_hyperplanes
+
+    h = lsh_hyperplanes(dim, n_bits, n_tables, seed=7)
+    selects = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, [{', '.join(repr(v) for v in h[t, j])}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_bits)
+        )
+        selects.append(
+            f"SELECT vec_id, {t * (1 << n_bits)} + {bits} AS bucket FROM base"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), keys AS (
+          {union}
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+          FROM keys a JOIN keys b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_id_a, c.vec_id_b
+        FROM cand c
+        JOIN embeddings x ON x.vec_id = c.vec_id_a
+        JOIN embeddings y ON y.vec_id = c.vec_id_b
+        WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                     CAST(y.embedding AS DOUBLE[])) >= {tau}
+    """

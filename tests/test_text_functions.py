@@ -313,3 +313,43 @@ def test_simhash_fast_mode_basics():
     assert out[0] == out[1] != 0
     assert out[0] != out[2]
     assert out[3] == 0
+
+
+def test_lsh_pairs_recall_and_exactness(ray_session):
+    """Sign-LSH pairs: precision 1.0 by construction (exact in-bucket
+    verify), recall >= 0.9 for tight near-dup families at tau 0.9 with
+    8 bits x 4 tables (theory: 1-(1-p^8)^4 with p = 1 - theta/pi), and
+    byte-deterministic across runs (the property the DuckDB oracle
+    relies on)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from idf.functions.ann import cosine_pairs, lsh_pairs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for fam in range(40):  # 40 families x 3 tight variants + 80 noise rows
+        base = rng.standard_normal(64)
+        for _ in range(3):
+            v = base + rng.standard_normal(64) * 0.08  # sim ~0.97
+            rows.append({"vec_id": vid, "embedding": v.astype(np.float32).tolist()})
+            vid += 1
+    for _ in range(80):
+        rows.append(
+            {"vec_id": vid, "embedding": rng.standard_normal(64).astype(np.float32).tolist()}
+        )
+        vid += 1
+    emb = rd.from_pandas(pd.DataFrame(rows))
+
+    tau = 0.9
+    exact = cosine_pairs(emb, tau=tau).to_pandas()
+    want = {(r["vec_id_a"], r["vec_id_b"]) for _, r in exact.iterrows()}
+    approx = lsh_pairs(emb, tau=tau, n_bits=8, n_tables=4).to_pandas()
+    got = {(r["vec_id_a"], r["vec_id_b"]) for _, r in approx.iterrows()}
+    assert got <= want  # precision 1.0: every emitted pair is verified
+    assert len(want) >= 30  # the corpus actually has near-dup pairs
+    assert len(got & want) / len(want) >= 0.9
+    # determinism (fixed hyperplanes, no sampling)
+    again = lsh_pairs(emb, tau=tau, n_bits=8, n_tables=4).to_pandas()
+    assert {(r["vec_id_a"], r["vec_id_b"]) for _, r in again.iterrows()} == got
