@@ -49,6 +49,13 @@ class DedupConfig:
     # overhead when the raw edge list already fits the driver CC (which
     # is duplicate-invariant). Auto: dedup only above this raw count.
     edge_dedup_min_rows: int = 20_000_000
+    # normalize real-JPEG rows by their own APP1 Exif orientation when
+    # no orientation column overrides. OFF by default: the shipped
+    # reference reads orientation as a constant 1 (Exif.java:57-59
+    # stub), so EXIF-rotated copies cluster separately — reference
+    # parity (FIXTURES.md §2 drink-270cw row). Flip on for corpora
+    # where upright-normalized hashing is wanted.
+    exif_from_bytes: bool = False
     # decode stage execution (see stages/hash_stage.py: tasks by default)
     decode_batch_size: int = 512
     decode_concurrency: int | None = None  # None -> size from cluster CPUs

@@ -112,26 +112,36 @@ def hash_image(img: np.ndarray, algo: str = "phash") -> int:
     return int(kernel(preprocess(img, h, w)[None, ...])[0])
 
 
-def hash_bytes(data: bytes, algo: str = "phash") -> tuple[int, int, int]:
+def hash_bytes(
+    data: bytes, algo: str = "phash", exif_from_bytes: bool = False
+) -> tuple[int, int, int]:
     """Encoded image bytes -> (hash, orig_h, orig_w) via the
     scaled-luma fast path (codecs.decode_luma_scaled).
 
     The single source of truth for hashing stored images: the engine's
     decode stage, the oracle, and the synthetic corpus's phash column
-    all call this, so hash equality across them is exact. Real-JPEG
-    bytes carrying an APP1 Exif orientation are normalized (M1) exactly
-    like the decode stage does when no orientation column overrides."""
+    all call this, so hash equality across them is exact.
+
+    ``exif_from_bytes=True`` additionally normalizes real-JPEG bytes by
+    their own APP1 Exif orientation (M1). OFF by default for reference
+    parity: the shipped reference reads orientation as a constant 1
+    (core/Exif.java:57-59 stub), so an EXIF-rotated copy (fixture
+    drink-270cw.jpg, tag 8) clusters SEPARATELY from its upright twin —
+    the documented expected behavior (FIXTURES.md §2). The stage passes
+    DedupConfig.exif_from_bytes through here, so engine and oracle flip
+    together."""
     from idf.codecs import decode_luma_scaled, sniff
 
     gray, oh, ow = decode_luma_scaled(data, min_dim=DECODE_MIN_DIM[algo])
-    head = bytes(data[:8]) if not isinstance(data, bytes) else data[:8]
-    if sniff(head) == "jfif":
-        from idf.codecs.jfif import exif_orientation
-        from idf.kernels.exif import exif_transform
+    if exif_from_bytes:
+        head = bytes(data[:8]) if not isinstance(data, bytes) else data[:8]
+        if sniff(head) == "jfif":
+            from idf.codecs.jfif import exif_orientation
+            from idf.kernels.exif import exif_transform
 
-        o = exif_orientation(data)
-        if o != 1:
-            gray = exif_transform(gray, o)
+            o = exif_orientation(data)
+            if o != 1:
+                gray = exif_transform(gray, o)
     return hash_image(gray, algo), oh, ow
 
 

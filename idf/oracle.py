@@ -41,7 +41,9 @@ class OracleHashes:
     skipped: list[str]
 
 
-def oracle_hash_stage(table: pa.Table, algo: str = "phash") -> OracleHashes:
+def oracle_hash_stage(
+    table: pa.Table, algo: str = "phash", exif_from_bytes: bool = False
+) -> OracleHashes:
     id2hash: dict[str, int] = {}
     meta: dict[str, tuple[int, int]] = {}
     skipped: list[str] = []
@@ -51,7 +53,7 @@ def oracle_hash_stage(table: pa.Table, algo: str = "phash") -> OracleHashes:
             continue
         data = row["bytes"]
         try:
-            h64, ih, iw = hash_bytes(data, algo)
+            h64, ih, iw = hash_bytes(data, algo, exif_from_bytes=exif_from_bytes)
         except DecodeError:
             skipped.append(row["image_id"])
             continue
@@ -146,8 +148,10 @@ def pair_recall_precision(
     return recall, precision
 
 
-def oracle_end_to_end(table: pa.Table, radius: int = 10, algo: str = "phash"):
-    oh = oracle_hash_stage(table, algo)
+def oracle_end_to_end(
+    table: pa.Table, radius: int = 10, algo: str = "phash", exif_from_bytes: bool = False
+):
+    oh = oracle_hash_stage(table, algo, exif_from_bytes=exif_from_bytes)
     comps = oracle_components(oh.id2hash, radius)
     plan = oracle_plan(comps, oh.meta)
     return oh, comps, plan

@@ -42,8 +42,9 @@ class DecodeHasher:
     """Actor-pool UDF: kernel constants built once per actor (__init__),
     per-batch work in __call__."""
 
-    def __init__(self, algo: str = "phash"):
+    def __init__(self, algo: str = "phash", exif_from_bytes: bool = False):
         self.algo = algo
+        self.exif_from_bytes = exif_from_bytes
         self.dims = resize_dims(algo)
         self.min_dim = DECODE_MIN_DIM[algo]
         # touch kernel tables so per-actor setup cost is paid here, not
@@ -85,10 +86,12 @@ class DecodeHasher:
                 continue
             if orients is not None and orients[i] is not None:
                 gray = exif_transform(gray, orients[i])
-            elif bytes(data[:3]) == b"\xff\xd8\xff":
-                # real JPEG without an orientation column: honor the
-                # APP1 Exif orientation from the bytes themselves (M1;
-                # hash_bytes — the oracle/synth path — does the same)
+            elif self.exif_from_bytes and bytes(data[:3]) == b"\xff\xd8\xff":
+                # opt-in (DedupConfig.exif_from_bytes): honor the APP1
+                # Exif orientation from the bytes themselves (M1;
+                # hash_bytes — the oracle/synth path — takes the same
+                # flag). Default OFF for reference parity: the shipped
+                # reference stubs orientation to 1 (Exif.java:57-59)
                 from idf.codecs.jfif import exif_orientation
 
                 o = exif_orientation(data)
@@ -130,7 +133,10 @@ def hash_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
         conc = cfg.decode_concurrency or available_cpus()
         return images.map_batches(
             DecodeHasher,
-            fn_constructor_kwargs={"algo": cfg.algo},
+            fn_constructor_kwargs={
+                "algo": cfg.algo,
+                "exif_from_bytes": cfg.exif_from_bytes,
+            },
             batch_format="pyarrow",
             batch_size=cfg.decode_batch_size,
             zero_copy_batch=True,
@@ -138,7 +144,7 @@ def hash_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
             num_cpus=1,
         )
     return images.map_batches(
-        DecodeHasher(cfg.algo),
+        DecodeHasher(cfg.algo, exif_from_bytes=cfg.exif_from_bytes),
         batch_format="pyarrow",
         batch_size=cfg.decode_batch_size,
         zero_copy_batch=True,
@@ -296,13 +302,16 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
         ["orientation"] if have_orient else []
     )
     algo, batch_rows = cfg.algo, cfg.decode_batch_size
+    exif_bytes = cfg.exif_from_bytes
 
     def read_and_hash(batch: pa.Table):
         import pyarrow.parquet as pq
 
-        hasher = _FUSED_HASHERS.get(algo)
+        hasher = _FUSED_HASHERS.get((algo, exif_bytes))
         if hasher is None:
-            hasher = _FUSED_HASHERS[algo] = DecodeHasher(algo)
+            hasher = _FUSED_HASHERS[(algo, exif_bytes)] = DecodeHasher(
+                algo, exif_from_bytes=exif_bytes
+            )
         for paths in batch["paths"].to_pylist():
             for p in paths:
                 pf = pq.ParquetFile(p)

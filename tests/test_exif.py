@@ -151,10 +151,12 @@ def test_exif_orientation_reference_fixture():
 
 
 def test_exif_bytes_fallback_matches_column(ray_session):
-    """A real JPEG whose EXIF says orientation=6, hashed WITHOUT an
-    orientation column, equals the same pixels hashed WITH column=6 —
-    the stage's bytes-level fallback and the column path are one
-    semantic (and hash_bytes, the oracle/synth path, agrees)."""
+    """With DedupConfig(exif_from_bytes=True), a real JPEG whose EXIF
+    says orientation=6, hashed WITHOUT an orientation column, equals
+    the same pixels hashed WITH column=6 — the stage's bytes-level
+    fallback and the column path are one semantic (and hash_bytes, the
+    oracle/synth path, agrees). DEFAULT config ignores bytes-EXIF for
+    reference parity (the shipped reference stubs orientation to 1)."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -184,17 +186,32 @@ def test_exif_bytes_fallback_matches_column(ray_session):
             cols["orientation"] = pa.array([r[2] for r in rows], pa.int32())
         return pa.table(cols)
 
+    cfg_on = DedupConfig(exif_from_bytes=True)
     got_fallback = (
-        hash_stage(rd.from_arrow(tbl([("x", tagged, None)], False)), DedupConfig())
+        hash_stage(rd.from_arrow(tbl([("x", tagged, None)], False)), cfg_on)
         .to_pandas()
         .set_index("image_id")
     )
     got_column = (
-        hash_stage(rd.from_arrow(tbl([("x", plain, 6)], True)), DedupConfig())
+        hash_stage(rd.from_arrow(tbl([("x", plain, 6)], True)), cfg_on)
         .to_pandas()
         .set_index("image_id")
     )
     assert got_fallback.loc["x", "phash"] == got_column.loc["x", "phash"]
+    # DEFAULT config: bytes-EXIF is IGNORED (reference parity) — the
+    # tagged row hashes like the untransformed pixels
+    got_default = (
+        hash_stage(rd.from_arrow(tbl([("x", tagged, None)], False)), DedupConfig())
+        .to_pandas()
+        .set_index("image_id")
+    )
+    got_plain_default = (
+        hash_stage(rd.from_arrow(tbl([("x", plain, None)], False)), DedupConfig())
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert got_default.loc["x", "phash"] == got_plain_default.loc["x", "phash"]
+    assert got_default.loc["x", "phash"] != got_column.loc["x", "phash"]
     # column (when present) wins over bytes: EXIF=6 with column=1 == plain
     got_override = (
         hash_stage(rd.from_arrow(tbl([("x", tagged, 1)], True)), DedupConfig())
@@ -207,5 +224,9 @@ def test_exif_bytes_fallback_matches_column(ray_session):
         .set_index("image_id")
     )
     assert got_override.loc["x", "phash"] == got_plain.loc["x", "phash"]
-    # oracle path (hash_bytes) agrees with the stage's fallback
-    assert hash_bytes(tagged)[0] == np.uint64(got_fallback.loc["x", "phash"]).item()
+    # oracle path (hash_bytes) agrees with the stage under BOTH flags
+    assert (
+        hash_bytes(tagged, exif_from_bytes=True)[0]
+        == np.uint64(got_fallback.loc["x", "phash"]).item()
+    )
+    assert hash_bytes(tagged)[0] == np.uint64(got_default.loc["x", "phash"]).item()

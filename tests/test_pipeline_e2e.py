@@ -304,3 +304,85 @@ def test_radius_conformance_partition(ray_session, tmp_path_factory, radius):
         ]
     )
     assert got == want
+
+
+_REF_FIXDIR = "/root/reference/fixtures"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REF_FIXDIR), reason="reference fixtures absent"
+)
+def test_reference_fixture_corpus_conformance(ray_session, tmp_path):
+    """The reference's OWN image corpus (used as data only) through the
+    full pipeline at the reference's default radius 10: the engine
+    partition equals the sequential oracle's, and the semantic
+    expectations of FIXTURES.md §2 hold — every drink re-encode
+    (lightly/heavily compressed, PNG copy, hue shift, watermark)
+    clusters with the original; the 270° rotated copy, the cat and the
+    structurally-similar-but-different drink stay out (the shipped
+    reference stubs EXIF orientation to 1, so the rotated copy is NOT
+    normalized back — our default matches; DedupConfig(exif_from_bytes=
+    True) is the documented opt-in that would pull it in)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idf.oracle import oracle_end_to_end
+
+    rows = []
+    for p in sorted(glob.glob(os.path.join(_REF_FIXDIR, "*.jpg"))) + [
+        os.path.join(_REF_FIXDIR, "drink-png.png")
+    ]:
+        data = open(p, "rb").read()
+        rows.append(
+            {
+                "image_id": os.path.basename(p),
+                "bytes": data,
+                "w": -1,
+                "h": -1,
+                "fmt": os.path.basename(p).rsplit(".", 1)[1],
+                "caption": "",
+                "phash": 0,
+            }
+        )
+    table = pa.table(
+        {
+            "image_id": pa.array([r["image_id"] for r in rows]),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+            "w": pa.array([r["w"] for r in rows], pa.int32()),
+            "h": pa.array([r["h"] for r in rows], pa.int32()),
+            "fmt": pa.array([r["fmt"] for r in rows]),
+            "caption": pa.array([r["caption"] for r in rows]),
+            "phash": pa.array([0] * len(rows), pa.int64()),
+        }
+    )
+    imgs = str(tmp_path / "ref_fixtures.parquet")
+    pq.write_table(table, imgs)
+
+    run_dir = str(tmp_path / "run")
+    run_dedup(imgs, run_dir, DedupConfig(radius=10), resume=False)
+    got = _partition(
+        [
+            (r["cluster_id"], r["image_id"])
+            for r in read_stage(run_dir, "clusters").to_pandas().to_dict("records")
+        ]
+    )
+    _, comps, _ = oracle_end_to_end(table, radius=10)
+    assert got == {c for c in comps if len(c) >= 2}
+
+    # FIXTURES.md §2 semantic expectations on the reference's corpus
+    assert len(got) == 1
+    (family,) = got
+    assert family == {
+        "drink.jpg",
+        "drink-compressed-lightly.jpg",
+        "drink-compressed-heavily.jpg",
+        "drink-hue-shift.jpg",
+        "drink-saturation-watermark-scribbled.jpg",
+        "drink-png.png",
+    }
+    # rotated copy / cat / similar-unrelated are singletons (dropped)
+    for absent in ("drink-270cw.jpg", "cat.jpg", "similar-unrelated-drink.jpg"):
+        assert absent not in family
