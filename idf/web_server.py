@@ -174,16 +174,13 @@ class DedupServer:
         man.replace_stage("plan", lambda: new_plan)
 
     def image(self, image_id: str) -> tuple[bytes, str] | None:
-        import ray.data as rd
-
-        from idf.stages.web import fetch_images
+        from idf.stages.web import fetch_images_pruned
 
         if self.table_path is None:
             return None
-        rows = fetch_images(
-            rd.read_parquet(self.table_path, columns=["image_id", "bytes", "fmt"]),
-            ids=[image_id],
-        ).take_all()
+        # read-side id pushdown: a page load touches O(1) row groups,
+        # not the whole bytes column
+        rows = fetch_images_pruned(self.table_path, [image_id]).take_all()
         if not rows:
             return None
         r = rows[0]
