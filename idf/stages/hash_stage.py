@@ -212,6 +212,12 @@ def read_images(
         if columns is not None:
             columns = _augment_optional_columns(columns, lance.dataset(path).schema.names)
         return rd.read_lance(path, columns=columns)
+    if _is_loose_file_dir(path):
+        ds = read_images_dir(path)
+        if columns is not None:
+            avail = ("image_id", "bytes", "fmt", "caption")
+            ds = ds.select_columns([c for c in columns if c in avail])
+        return ds
     kw = {}
     if num_blocks is not None:
         kw["override_num_blocks"] = num_blocks
@@ -268,6 +274,56 @@ def plan_read_tasks(
 _FUSED_HASHERS: dict[str, DecodeHasher] = {}
 
 
+def _is_loose_file_dir(path: str) -> bool:
+    """True for the reference's native input: a directory tree of image
+    FILES (no parquet fragments anywhere). Single files / parquet dirs /
+    missing paths all return False and take the table path."""
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                return False
+    for _root, _dirs, files in os.walk(path):
+        if files:
+            return True
+    return False
+
+
+def read_images_dir(root: str) -> rd.Dataset:
+    """Directory-of-files source — the reference's input mode
+    (app/Commands.java:72-96 walks a directory; the extension set is the
+    fmt filter). Emits the engine's standard row shape with
+    ``image_id`` = path relative to ``root`` (doubling as the
+    deterministic keeper tiebreak, like the reference's paths) and an
+    empty caption (loose files carry none; caption-LSH finds nothing —
+    banding alone drives clustering, matching the reference exactly).
+
+    Scale shape: ``read_binary_files`` is fragment-parallel over the
+    file listing; each task reads only its own files. Format detection
+    defers to the codec sniffer at decode time — the extension only
+    routes the reference's accept-list filter (S1)."""
+    import ray.data as rdata
+
+    ds = rdata.read_binary_files(root, include_paths=True)
+    prefix = os.path.abspath(root)
+
+    def _rows(t: pa.Table) -> pa.Table:
+        paths = t["path"].to_pylist()
+        rel = [os.path.relpath(p, prefix) for p in paths]
+        fmt = [r.rsplit(".", 1)[-1].lower() if "." in r else "" for r in rel]
+        return pa.table(
+            {
+                "image_id": pa.array(rel, pa.string()),
+                "bytes": t["bytes"],
+                "fmt": pa.array(fmt, pa.string()),
+                "caption": pa.array([""] * len(rel), pa.string()),
+            }
+        )
+
+    return ds.map_batches(_rows, batch_format="pyarrow")
+
+
 def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
     """Fused read+decode+hash: each task reads its parquet fragments
     LOCALLY and hashes them immediately, so the ``bytes`` column never
@@ -291,6 +347,10 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
             read_images(images_path, columns=["image_id", "bytes", "fmt", "caption"]),
             cfg,
         )
+    if _is_loose_file_dir(images_path):
+        # the reference's native input mode: a directory of image FILES
+        # (Commands.java:72-96 walks the tree) rather than a table
+        return hash_stage(read_images_dir(images_path), cfg)
     ncpu = available_cpus()
     tasks = plan_read_tasks(images_path, ncpu)
     if not tasks:

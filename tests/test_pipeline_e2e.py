@@ -386,3 +386,75 @@ def test_reference_fixture_corpus_conformance(ray_session, tmp_path):
     # rotated copy / cat / similar-unrelated are singletons (dropped)
     for absent in ("drink-270cw.jpg", "cat.jpg", "similar-unrelated-drink.jpg"):
         assert absent not in family
+
+
+def test_loose_file_directory_source(ray_session, tmp_path):
+    """The reference's native input mode — a directory tree of image
+    FILES (Commands.java:72-96) — runs the full pipeline drop-in:
+    same clusters as the equivalent parquet table, per-file skip for
+    non-image/corrupt files, ids are root-relative paths."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idf.codecs import encode
+    from idf.codecs.jfif import encode_jfif
+    from idf.synth import _base_image
+
+    rng = np.random.default_rng(21)
+    root = tmp_path / "imgs"
+    (root / "sub").mkdir(parents=True)
+    rows = []
+    for fam in range(3):
+        base = _base_image(rng)
+        variants = {
+            f"fam{fam}.png": encode(base, "png"),
+            f"sub/fam{fam}-q30.jpg": encode(base, "jpg", quality=30),
+            f"fam{fam}-real.jpg": encode_jfif(base, quality=90),
+        }
+        for relname, data in variants.items():
+            (root / relname).write_bytes(data)
+            rows.append((relname.replace(os.sep, "/"), data))
+    (root / "notes.txt").write_bytes(b"not an image")
+    (root / "broken.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"junk")
+    rows.append(("notes.txt", b"not an image"))
+    rows.append(("broken.png", b"\x89PNG\r\n\x1a\n" + b"junk"))
+
+    run_a = str(tmp_path / "run_dir_src")
+    run_dedup(str(root), run_a, DedupConfig(), resume=False)
+
+    # equivalent parquet table -> identical partition
+    table = pa.table(
+        {
+            "image_id": pa.array([os.path.relpath(str(root / r), str(root)) for r, _ in rows]),
+            "bytes": pa.array([d for _, d in rows], pa.binary()),
+            "w": pa.array([-1] * len(rows), pa.int32()),
+            "h": pa.array([-1] * len(rows), pa.int32()),
+            "fmt": pa.array([r.rsplit(".", 1)[-1] for r, _ in rows]),
+            "caption": pa.array([""] * len(rows)),
+            "phash": pa.array([0] * len(rows), pa.int64()),
+        }
+    )
+    tblpath = str(tmp_path / "imgs.parquet")
+    pq.write_table(table, tblpath)
+    run_b = str(tmp_path / "run_tbl_src")
+    run_dedup(tblpath, run_b, DedupConfig(), resume=False)
+
+    part = lambda rd_: _partition(  # noqa: E731
+        [
+            (r["cluster_id"], r["image_id"])
+            for r in read_stage(rd_, "clusters").to_pandas().to_dict("records")
+        ]
+    )
+    got = part(run_a)
+    assert got == part(run_b)
+    assert len(got) == 3  # one cluster per family (png + fjpg + real jfif)
+    for fam in range(3):
+        assert any(f"fam{fam}.png" in c for c in got)
+
+    # per-file skips recorded like the table path (M9)
+    hashes = read_stage(run_a, "hashes").to_pandas().set_index("image_id")
+    assert hashes.loc["notes.txt", "status"] == "skip:fmt"
+    assert hashes.loc["broken.png", "status"] == "skip:decode"
