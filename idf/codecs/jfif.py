@@ -89,17 +89,23 @@ class HuffTable:
 
 # one decoder-wide table cache: JPEGs overwhelmingly share the handful
 # of standard (or per-encoder fixed) DHT payloads, so LUT construction
-# amortizes to zero across a corpus
+# amortizes to zero across a corpus. The 16-bit LUT is ~1 MB+ per
+# distinct table, so the cap is small and eviction is LRU — an
+# adversarial many-table corpus cycles the junk entries while the hot
+# standard tables stay resident (dict order = insertion order; hits
+# re-insert at the MRU end).
 _HT_CACHE: dict[bytes, HuffTable] = {}
+_HT_CACHE_CAP = 128
 
 
 def _huff_table(counts: list[int], values: bytes) -> HuffTable:
     key = bytes(counts) + b"|" + values
-    t = _HT_CACHE.get(key)
+    t = _HT_CACHE.pop(key, None)
     if t is None:
-        if len(_HT_CACHE) > 4096:  # adversarial many-table corpora
-            _HT_CACHE.clear()
-        t = _HT_CACHE[key] = HuffTable(counts, values)
+        if len(_HT_CACHE) >= _HT_CACHE_CAP:
+            _HT_CACHE.pop(next(iter(_HT_CACHE)))  # evict least-recently-used
+        t = HuffTable(counts, values)
+    _HT_CACHE[key] = t
     return t
 
 
@@ -195,6 +201,9 @@ def _parse(data) -> dict:
             i += 1
             continue
         marker = data[i + 1]
+        if marker == 0xFF:  # 0xFF fill bytes before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue

@@ -525,7 +525,18 @@ def lsh_pairs(
                     sims = a @ m[j0 : j0 + bucket_cap].T
                     ii, jj = np.nonzero(sims >= tau)
                     gi, gj = ii + i0, jj + j0
-                    keep = vids[gi] < vids[gj]
+                    if j0 == i0:
+                        # symmetric block: each unordered pair appears
+                        # twice ((i,j) and (j,i)); the vec_id order test
+                        # keeps exactly one copy
+                        keep = vids[gi] < vids[gj]
+                    else:
+                        # off-diagonal block: each unordered pair appears
+                        # exactly ONCE — a vec_id-order test would drop
+                        # pairs whose id order disagrees with positional
+                        # order (sub is not sorted by vec_id); the
+                        # min/max normalization below orders them
+                        keep = vids[gi] != vids[gj]
                     out_a.append(np.minimum(vids[gi], vids[gj])[keep])
                     out_b.append(np.maximum(vids[gi], vids[gj])[keep])
                     out_s.append(sims[ii, jj][keep])

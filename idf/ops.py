@@ -178,7 +178,22 @@ def exchange_apply(
             # zero-column empty block, which Ray drops on concat.
             try:
                 out = bucket_fn(t if arrow_fn else t.to_pandas())
+            except (IndexError, KeyError, ValueError):
+                # the expected empty-input probe failures (g.iloc[0],
+                # max-of-empty, missing side column)
+                return t.select([])
             except Exception:
+                # anything else is likely a real bucket_fn defect on
+                # typed-empty input — keep the empty-out contract but
+                # make the swallow observable instead of silent
+                import logging
+                import traceback
+
+                logging.getLogger(__name__).warning(
+                    "exchange_apply: bucket_fn raised on typed-empty "
+                    "partition (returning empty block):\n%s",
+                    traceback.format_exc(),
+                )
                 return t.select([])
             if isinstance(out, pa.Table):
                 return out

@@ -174,13 +174,21 @@ class DedupServer:
         man.replace_stage("plan", lambda: new_plan)
 
     def image(self, image_id: str) -> tuple[bytes, str] | None:
-        from idf.stages.web import fetch_images_pruned
+        from idf.stages.hash_stage import _is_loose_file_dir, read_images
+        from idf.stages.web import fetch_images, fetch_images_pruned
 
         if self.table_path is None:
             return None
-        # read-side id pushdown: a page load touches O(1) row groups,
-        # not the whole bytes column
-        rows = fetch_images_pruned(self.table_path, [image_id]).take_all()
+        if _is_loose_file_dir(self.table_path):
+            # /api/process accepts the reference's loose-file directory
+            # input (the 'directory' query alias); there is no parquet
+            # to push the id filter into — broadcast semi-join instead
+            ds = fetch_images(read_images(self.table_path), [image_id])
+        else:
+            # read-side id pushdown: a page load touches O(1) row
+            # groups, not the whole bytes column
+            ds = fetch_images_pruned(self.table_path, [image_id])
+        rows = ds.take_all()
         if not rows:
             return None
         r = rows[0]
@@ -226,7 +234,11 @@ def _make_handler(srv: DedupServer):
                 if not image_id:
                     self._text("Missing id parameter", 400)
                     return
-                hit = srv.image(image_id)
+                try:
+                    hit = srv.image(image_id)
+                except Exception as e:  # noqa: BLE001 — HTTP error, not a dropped socket
+                    self._text(f"Error: {e}", 500)
+                    return
                 if hit is None:
                     self._text("Image not found", 404)
                     return

@@ -222,6 +222,52 @@ def test_jfif_gray_luma_exact():
     assert _psnr(g, rgb[..., 0]) > 30.0
 
 
+def test_jfif_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; real-world encoders emit them for alignment. Regression
+    (r4): the parse loop used to read a bogus segment length from the
+    real marker byte and derail — fill-padded valid JPEGs became
+    skip:decode rows."""
+    from idf.codecs.jfif import decode_jfif, encode_jfif
+
+    img = _rand_img((24, 31, 3), seed=13)
+    data = encode_jfif(img, quality=85, subsampling="420")
+    want = decode_jfif(data)
+    # pad before DQT, DHT and SOS markers with 1-3 fill bytes each
+    padded = data
+    for marker, nfill in ((b"\xff\xdb", 1), (b"\xff\xc4", 3), (b"\xff\xda", 2)):
+        i = padded.index(marker)
+        padded = padded[:i] + b"\xff" * nfill + padded[i:]
+    assert len(padded) == len(data) + 6
+    assert np.array_equal(decode_jfif(padded), want)
+
+
+def test_jfif_huff_lut_cache_lru():
+    """The decoder-wide Huffman LUT cache is bounded and LRU: junk
+    tables cycle out while a re-touched (hot) table survives a full
+    sweep past the cap."""
+    from idf.codecs import jfif
+
+    old = dict(jfif._HT_CACHE)
+    jfif._HT_CACHE.clear()
+    try:
+        def mk(tag: int):
+            # distinct single-symbol tables: one code of length 2
+            counts = [0, 1] + [0] * 14
+            return jfif._huff_table(counts, bytes([tag]))
+
+        hot = mk(0)
+        for i in range(1, jfif._HT_CACHE_CAP + 40):
+            mk(i % 250 + 1)
+            if i % 16 == 0:
+                assert mk(0) is hot  # periodic touch keeps it MRU
+        assert mk(0) is hot
+        assert len(jfif._HT_CACHE) <= jfif._HT_CACHE_CAP
+    finally:
+        jfif._HT_CACHE.clear()
+        jfif._HT_CACHE.update(old)
+
+
 def test_jfif_restart_markers():
     """DRI/RSTn segmentation decodes bit-identically to the same image
     without restarts (exercises the decoder's segment/pred-reset path)."""

@@ -353,3 +353,40 @@ def test_lsh_pairs_recall_and_exactness(ray_session):
     # determinism (fixed hyperplanes, no sampling)
     again = lsh_pairs(emb, tau=tau, n_bits=8, n_tables=4).to_pandas()
     assert {(r["vec_id_a"], r["vec_id_b"]) for _, r in again.iterrows()} == got
+
+
+def test_lsh_pairs_bucket_cap_chunking_lossless(ray_session):
+    """Regression (r4): chunked in-bucket matmuls must emit the SAME pair
+    set as the unchunked path. The r3 code filtered off-diagonal chunk
+    blocks with ``vids[gi] < vids[gj]`` — but there each unordered pair
+    appears exactly once, so pairs whose vec_id order disagreed with
+    positional order were silently dropped (4 of 6 on a 4-vector
+    all-similar bucket at bucket_cap=2)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from idf.functions.ann import lsh_pairs
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal(64)
+    # one tight family of 9 near-identical vectors -> they share buckets;
+    # vec_ids deliberately NOT in insertion order so positional order and
+    # id order disagree inside the bucket groups
+    ids = [40, 3, 17, 99, 8, 55, 2, 71, 26]
+    rows = [
+        {
+            "vec_id": i,
+            "embedding": (base + rng.standard_normal(64) * 0.02).astype(np.float32).tolist(),
+        }
+        for i in ids
+    ]
+    emb = rd.from_pandas(pd.DataFrame(rows))
+
+    def pairset(cap):
+        df = lsh_pairs(emb, tau=0.95, n_bits=4, n_tables=2, bucket_cap=cap).to_pandas()
+        return {(r["vec_id_a"], r["vec_id_b"]) for _, r in df.iterrows()}
+
+    full = pairset(4096)
+    assert len(full) == 36  # all 9-choose-2 pairs of the tight family
+    for cap in (2, 3, 5):
+        assert pairset(cap) == full, cap

@@ -216,3 +216,65 @@ def test_web_server_end_to_end(ray_session, small_images_table, tmp_path):
         assert flip in set(k["image_id"])  # the flipped row stays kept
     finally:
         httpd.shutdown()
+
+
+def test_web_server_image_on_loose_dir_and_error_path(ray_session, tmp_path):
+    """Regression (r4): /api/process accepts a loose-file DIRECTORY, but
+    /api/image went straight to the parquet id-pushdown read — every
+    image request after a directory job raised inside the handler and
+    dropped the connection. Now: directory inputs serve bytes via the
+    broadcast semi-join path, and handler exceptions surface as HTTP
+    500, never a dropped socket."""
+    import json
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+
+    import numpy as np
+
+    from idf.codecs import encode
+    from idf.synth import _base_image
+    from idf.web_server import serve
+
+    rng = np.random.default_rng(31)
+    root = tmp_path / "imgs"
+    root.mkdir()
+    base = _base_image(rng)
+    (root / "a.png").write_bytes(encode(base, "png"))
+    (root / "a-q30.jpg").write_bytes(encode(base, "jpg", quality=30))
+    (root / "b.png").write_bytes(encode(_base_image(rng), "png"))
+
+    httpd, state = serve(port=0, run_root=str(tmp_path / "web"))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base_url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            f"{base_url}/api/process?directory={root}&threshold=0.85", method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            job_id = json.loads(r.read())["jobId"]
+        for _ in range(600):
+            with urllib.request.urlopen(f"{base_url}/api/job/{job_id}", timeout=60) as r:
+                j = json.loads(r.read())
+            if j["status"] != "running":
+                break
+            time.sleep(0.2)
+        assert j["status"] == "completed", j
+
+        with urllib.request.urlopen(f"{base_url}/api/image?id=a.png", timeout=60) as r:
+            body = r.read()
+            assert body == (root / "a.png").read_bytes()
+            assert r.headers["Content-Type"] == "image/png"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base_url}/api/image?id=missing.png", timeout=60)
+        assert ei.value.code == 404
+
+        # handler exceptions -> HTTP 500, not a dropped connection
+        state.table_path = str(tmp_path / "bogus.parquet")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base_url}/api/image?id=a.png", timeout=60)
+        assert ei.value.code == 500
+    finally:
+        httpd.shutdown()
