@@ -66,13 +66,40 @@ def window_agg(
     return agg.map_batches(finish, batch_format="pandas")
 
 
+# Which route the last sessionize() in this process took — observable
+# from tests (the auto gate must be provably engaged, not assumed),
+# mirroring ops.EXCHANGE_STATS.
+SESSIONIZE_STATS = {"route": None, "est_max_user_rows": None}
+
+
+def estimate_max_key_rows(ds: rd.Dataset, key_col: str, topk: int = 8) -> int:
+    """Heavy-hitter estimate of the largest single-key row count: each
+    batch emits its top-``topk`` per-key counts (a few rows), the driver
+    sums per key. Exact for any key that ranks top-k in every batch it
+    appears in — true for genuinely hot keys, which is the only regime
+    the estimate gates. One streaming pass over the (already
+    column-pruned) input; output is O(topk x #blocks) rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key_col].value_counts().head(topk)
+        return pd.DataFrame(
+            {key_col: vc.index.to_numpy(), "__n": vc.to_numpy().astype(np.int64)}
+        )
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if p.empty:
+        return 0
+    return int(p.groupby(key_col)["__n"].sum().max())
+
+
 def sessionize(
     ds: rd.Dataset,
     user_col: str = "user_id",
     time_col: str = "ts",
     order_col: str = "event_id",
     gap: str = "30min",
-    salt: str | None = None,
+    salt: str | None = "auto",
+    hot_rows_threshold: int = 4_000_000,
 ) -> rd.Dataset:
     """Gap-based sessionization: one row per (user, session) with
     n_events and the session's time bounds. A new session starts when
@@ -94,6 +121,15 @@ def sessionize(
     Exact: fragments are maximal within a period, so the only possible
     joins are across period boundaries, decided by exactly the
     last/first event pair the fragment summaries carry.
+
+    ``salt='auto'`` (the default, r4) routes between the two: a cheap
+    heavy-hitter probe estimates the hottest user's row count and picks
+    the salted two-phase path when it exceeds ``hot_rows_threshold``
+    (default 4M rows ~ 100 MB of (user, ts, id) in one task's heap —
+    the partitioning assumption the unsalted path relies on). The probe
+    is one count-only pass; at any scale it is cheaper than a task OOM
+    on an adversarial user. ``salt=None`` pins the single-shuffle path;
+    an explicit period pins the salted path.
     """
     gap_ns = int(pd.Timedelta(gap).value)
 
@@ -127,6 +163,18 @@ def sessionize(
         return out
 
     pruned = ds.select_columns([user_col, time_col, order_col])
+
+    if salt == "auto":
+        est = estimate_max_key_rows(pruned, user_col)
+        SESSIONIZE_STATS["est_max_user_rows"] = est
+        if est > hot_rows_threshold:
+            # salt period must be >= gap for fragment maximality
+            salt = gap if pd.Timedelta(gap) > pd.Timedelta("1d") else "1d"
+        else:
+            salt = None
+    else:
+        SESSIONIZE_STATS["est_max_user_rows"] = None
+    SESSIONIZE_STATS["route"] = "unsalted" if salt is None else "salted"
 
     if salt is None:
 

@@ -547,8 +547,23 @@ def simhash_pairs(
 # suffix-array substring dedup (north-rule: "suffix-array substring")
 
 
+# Which verify route the last substring_dup_positions() took in this
+# process — observable from tests (the broadcast guard must be provably
+# engaged, not assumed), mirroring ops.EXCHANGE_STATS.
+SUBSTRING_STATS = {"verify_route": None, "n_candidates": None, "win_verify": None}
+
+# above this many candidate positions the verified windows stop being
+# driver-small and the win grouping runs as a bucketed exchange
+_DRIVER_VERIFY_MAX = 1_000_000
+
+
 def substring_dup_positions(
-    docs: rd.Dataset, min_len: int = 30, n_buckets: int | None = None, verify: bool = True
+    docs: rd.Dataset,
+    min_len: int = 30,
+    n_buckets: int | None = None,
+    verify: bool = True,
+    broadcast_max_cands: int = 5_000_000,
+    fused_max_bytes: int | None = None,
 ) -> rd.Dataset:
     """Corpus substring dedup (Lee et al. 2021 semantics): every
     (doc_id, pos) whose ``min_len``-char window occurs >= 2 times in
@@ -571,34 +586,200 @@ def substring_dup_positions(
     hashing mod 2^64 has structured (not just ~n^2/2^65 random)
     collisions, so hash-equal candidates are re-grouped on their ACTUAL
     ``min_len``-char window text and kept only when the same string
-    occurs >= 2 times (r2 ADVICE). The verify pass co-groups the
-    (small) candidate set with the texts per doc_id and shuffles only
-    the candidate windows — not the corpus — on the window string.
+    occurs >= 2 times (r2 ADVICE). Three size-gated verify routes (r4,
+    closes the r3 2.3x wall regression), all byte-exact:
+
+    1. ``fused_winkey`` — when the pre-execution metadata estimate says
+       the keyed window rows fit the exchange engine
+       (``est_chars x (4*min_len+16) <= fused_max_bytes``, default the
+       exchange byte gate): ship the raw window BYTES alongside the
+       hash in the ONE existing shuffle and verify in-bucket (equal
+       strings => equal hashes => same bucket, so a per-bucket group on
+       the bytes is globally exact). Zero extra passes, zero extra
+       exchanges; costs (4*min_len)x the thin shuffle's width — the
+       right trade until the shuffle volume itself is the constraint.
+    2. ``broadcast_rehash`` — above the fused gate: keep the thin
+       (hash, doc_id, pos) shuffle, then broadcast the candidate hash
+       set (<= ``broadcast_max_cands``) and RE-COMPUTE the candidate
+       windows with text attached in a second streaming pass over the
+       docs — recompute instead of move: the corpus text never enters
+       a shuffle — then verify the (tiny) candidate windows, driver-
+       side below ``_DRIVER_VERIFY_MAX`` else via one thin exchange.
+    3. ``cogroup_attach`` — candidate set too large to broadcast
+       (boilerplate-heavy corpora): the r3 topology — a doc_id
+       co-group attaches window text, then a win-keyed exchange
+       verifies. Two extra exchanges, no broadcast, no recompute.
     """
-    from idf.kernels.suffix import batch_window_hashes
-    from idf.ops import bucketed_apply
+    from idf.kernels.suffix import batch_window_hashes, batch_window_keys
+    from idf.ops import _estimate_bytes, _exchange_max_bytes, bucketed_apply
+
+    texts = docs.select_columns(["doc_id", "text"])
+    kwargs0 = {} if n_buckets is None else {"n_buckets": n_buckets}
+
+    if verify:
+        gate = _exchange_max_bytes() if fused_max_bytes is None else fused_max_bytes
+        # select_columns (a Project) erases plan metadata — probe the
+        # caller's dataset too (read-rooted there; slight over-estimate
+        # from extra columns only makes the gate more conservative)
+        est = _estimate_bytes(texts)
+        if est is None:
+            est = _estimate_bytes(docs)
+        row_w = 4 * min_len + 16  # win bytes + doc_id + pos per window
+        if est is not None and est * row_w <= gate:
+            SUBSTRING_STATS["verify_route"] = "fused_winkey"
+            SUBSTRING_STATS["n_candidates"] = None
+            SUBSTRING_STATS["win_verify"] = "in_bucket"
+            W = 4 * min_len
+
+            def _winkeys(t: pa.Table) -> pa.Table:
+                # Arrow end to end: the window bytes ride as
+                # fixed_size_binary (one buffer, no per-window Python
+                # objects anywhere in the hot path)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                tx = t["text"].to_pylist()
+                di, pos, h, wins = batch_window_keys(
+                    [x if x is not None else "" for x in tx], min_len
+                )
+                win_arr = pa.Array.from_buffers(
+                    pa.binary(W), len(wins), [None, pa.py_buffer(wins.tobytes())]
+                )
+                return pa.table(
+                    {
+                        "h": pa.array(h.view(np.int64)),
+                        "win": win_arr,
+                        "doc_id": pa.array(ids[di]),
+                        "pos": pa.array(pos),
+                    }
+                )
+
+            def _dup_wins(t: pa.Table) -> pa.Table:
+                empty = pa.table(
+                    {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+                )
+                n = len(t)
+                if n == 0:
+                    return empty
+                h = t["h"].to_numpy(zero_copy_only=False)
+                wc = t["win"].combine_chunks()
+                wins = np.frombuffer(
+                    wc.buffers()[1], dtype=f"S{W}", count=n, offset=wc.offset * W
+                )
+                # duplicate iff the (h, win) run has length >= 2; equal
+                # strings share h, so in-bucket runs are globally exact
+                order = np.lexsort((wins, h))
+                hs, ws = h[order], wins[order]
+                brk = np.ones(n, dtype=bool)
+                brk[1:] = (hs[1:] != hs[:-1]) | (ws[1:] != ws[:-1])
+                gid = np.cumsum(brk) - 1
+                keep = np.bincount(gid)[gid] >= 2
+                idx = order[keep]
+                if not len(idx):
+                    return empty
+                return t.select(["doc_id", "pos"]).take(pa.array(idx))
+
+            keyed = texts.map_batches(_winkeys, batch_format="pyarrow")
+            return bucketed_apply(
+                keyed, "h", _dup_wins, est_bytes=est * row_w, arrow_fn=True, **kwargs0
+            )
 
     def _windows(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy(np.int64)
         di, pos, h = batch_window_hashes(list(df["text"].fillna("")), min_len)
         return pd.DataFrame({"h": h.view(np.int64), "doc_id": ids[di], "pos": pos})
 
-    texts = docs.select_columns(["doc_id", "text"])
     rows = texts.map_batches(_windows, batch_format="pandas")
 
     def _dups(g: pd.DataFrame) -> pd.DataFrame:
         keep = g.groupby("h", sort=False)["h"].transform("size") >= 2
-        return g.loc[keep, ["doc_id", "pos"]]
+        return g.loc[keep, ["h", "doc_id", "pos"]]
 
     kwargs = {} if n_buckets is None else {"n_buckets": n_buckets}
     cand = bucketed_apply(rows, "h", _dups, **kwargs)
     if not verify:
-        return cand
+        return cand.map_batches(
+            lambda df: df[["doc_id", "pos"]], batch_format="pandas"
+        )
 
+    # -- fast verify: broadcast candidate hash set + recompute pass ----
+    import ray
+
+    from idf.ops import get_broadcast
+
+    mat = cand.materialize()
+    n_cand = mat.count()
+    SUBSTRING_STATS["n_candidates"] = n_cand
+    SUBSTRING_STATS["win_verify"] = None
+    if n_cand <= broadcast_max_cands:
+        SUBSTRING_STATS["verify_route"] = "broadcast_rehash"
+        # one collect of the two key columns (n_cand <= guard rows of
+        # 2x int64 — driver-small by construction); driver-side unique
+        cdf = mat.select_columns(["h", "doc_id"]).to_pandas()
+        cand_h = np.unique(cdf["h"].to_numpy(np.int64))
+        cand_docs = np.unique(cdf["doc_id"].to_numpy(np.int64))
+        ref = ray.put((cand_h, cand_docs))
+
+        def _rehash(df: pd.DataFrame) -> pd.DataFrame:
+            hs, docset = get_broadcast(ref)
+            ids = df["doc_id"].to_numpy(np.int64)
+            # hash only candidate DOCS (the minority): windows from a
+            # doc with no duplicated window never need re-checking
+            dj = np.searchsorted(docset, ids)
+            dj[dj == len(docset)] = 0
+            dmask = docset[dj] == ids if len(docset) else np.zeros(len(ids), bool)
+            df = df.loc[dmask]
+            ids = ids[dmask]
+            tx = list(df["text"].fillna(""))
+            di, pos, h = batch_window_hashes(tx, min_len)
+            h = h.view(np.int64)
+            j = np.searchsorted(hs, h)
+            j[j == len(hs)] = 0
+            hit = hs[j] == h if len(hs) else np.zeros(len(h), dtype=bool)
+            di, pos = di[hit], pos[hit]
+            # python loop over the candidate MINORITY only
+            wins = [tx[i][p : p + min_len] for i, p in zip(di, pos)]
+            return pd.DataFrame(
+                {"doc_id": ids[di], "pos": pos, "win": pd.Series(wins, dtype=object)}
+            )
+
+        rewins = texts.map_batches(_rehash, batch_format="pandas")
+
+        if n_cand <= _DRIVER_VERIFY_MAX:
+            # the candidate windows are driver-small: one pandas pass
+            # replaces the win-keyed exchange job entirely (same
+            # auto-guard discipline as cc_mode / the spans merge)
+            SUBSTRING_STATS["win_verify"] = "driver"
+            df = rewins.to_pandas()
+            if df.empty:
+                return rd.from_arrow(
+                    pa.table(
+                        {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+                    )
+                )
+            keep = df.groupby("win", sort=False)["win"].transform("size") >= 2
+            out = df.loc[keep]
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                        "pos": pa.array(out["pos"].to_numpy(np.int64)),
+                    }
+                )
+            )
+
+        SUBSTRING_STATS["win_verify"] = "exchange"
+
+        def _verify_fast(g: pd.DataFrame) -> pd.DataFrame:
+            keep = g.groupby("win", sort=False)["win"].transform("size") >= 2
+            return g.loc[keep, ["doc_id", "pos"]]
+
+        return bucketed_apply(rewins, "win", _verify_fast, **kwargs)
+
+    # -- fallback (candidate set too large to broadcast) ---------------
     # verify pass 1: attach each candidate's actual window text via a
     # doc_id co-group (texts stream through ONE more exchange; the full
     # text never duplicates per position as a join would duplicate it)
-    tagged_c = cand.map_batches(
+    SUBSTRING_STATS["verify_route"] = "cogroup_attach"
+    tagged_c = mat.map_batches(
         lambda t: pa.table(
             {
                 "doc_id": t["doc_id"],

@@ -206,6 +206,48 @@ def batch_window_hashes(
     return doc_idx, pos, h[gidx]
 
 
+def batch_window_keys(
+    texts: list[str], L: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """``batch_window_hashes`` + the raw window BYTES per window, all in
+    one vectorized pass. Returns (doc_index, pos, hash, win) aligned;
+    ``win`` is a numpy ``S{4L}`` array of the window's exact UTF-32-LE
+    bytes — a strided gather, no per-window Python slicing.
+
+    The byte keys make the distributed verify EXACT with zero extra
+    passes: equal strings <=> equal byte keys. Trailing-NUL stripping in
+    numpy/python bytes comparisons is safe here because all keys share
+    the fixed length 4L: two fixed-length buffers that compare equal
+    after trailing-zero stripping are byte-identical.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if L < 1:
+        raise ValueError("L must be >= 1")
+    z = np.empty(0, dtype=np.int64)
+    wdt = f"S{4 * L}"
+    if not texts:
+        return z, z, np.empty(0, np.uint64), np.empty(0, wdt)
+    raw = "".join(t or "" for t in texts).encode("utf-32-le")
+    codes = np.frombuffer(raw, dtype=np.uint32).astype(np.uint64)
+    h = rolling_window_hashes(codes, L)
+    lens = np.array([len(t or "") for t in texts], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+    m = np.maximum(lens - L + 1, 0)
+    tot = int(m.sum())
+    if tot == 0:
+        return z, z, np.empty(0, np.uint64), np.empty(0, wdt)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), m)
+    pos = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(m)[:-1]]), m
+    )
+    gidx = pos + np.repeat(starts, m)
+    b = np.frombuffer(raw, dtype=np.uint8)
+    sw = sliding_window_view(b, 4 * L)[::4]  # one row per character position
+    wins = np.ascontiguousarray(sw[gidx]).view(wdt).ravel()
+    return doc_idx, pos, h[gidx], wins
+
+
 def merge_window_spans(positions: np.ndarray, L: int) -> list[tuple[int, int]]:
     """Union of windows [p, p+L) for sorted-or-not positions of ONE doc:
     maximal duplicated character spans [start, stop)."""

@@ -189,6 +189,52 @@ def test_sessionize_salted_hot_user_boundary(ray_session):
         sessionize(rd.from_pandas(ev), gap="30min", salt="10min")
 
 
+def test_sessionize_auto_routes_hot_users_to_salted(ray_session):
+    """salt='auto' (the default, r4): the heavy-hitter probe routes a
+    hot-user corpus to the salted two-phase path and a balanced corpus
+    to the single-shuffle path — observable via SESSIONIZE_STATS — and
+    both routes produce the identical session table."""
+    from idf.functions.relational import SESSIONIZE_STATS
+
+    base = pd.Timestamp("2024-03-01")
+    rng = np.random.default_rng(7)
+    # one adversarial user with 3000 events over 10 days + 50 normal users
+    hot_ts = base + pd.to_timedelta(np.sort(rng.integers(0, 864_000, 3000)), unit="s")
+    norm_u = rng.integers(1, 51, 400)
+    norm_ts = base + pd.to_timedelta(rng.integers(0, 864_000, 400), unit="s")
+    ev = pd.DataFrame(
+        {
+            "user_id": np.r_[np.zeros(3000, dtype=np.int64), norm_u],
+            "ts": pd.Series(
+                np.concatenate([np.asarray(hot_ts), np.asarray(norm_ts)])
+            ).astype("datetime64[us]"),
+            "event_id": np.arange(3400, dtype=np.int64),
+        }
+    )
+    cols = ["user_id", "session_id", "n_events", "session_start", "session_end"]
+
+    def run(**kw):
+        return (
+            sessionize(rd.from_pandas(ev), gap="30min", **kw)
+            .to_pandas()[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+
+    want = run(salt=None)
+    assert SESSIONIZE_STATS["route"] == "unsalted"
+
+    got = run(hot_rows_threshold=1000)  # salt='auto' default engages
+    assert SESSIONIZE_STATS["route"] == "salted"
+    assert SESSIONIZE_STATS["est_max_user_rows"] >= 3000
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # balanced corpus under the same threshold stays single-shuffle
+    run()  # default 4M threshold: 3000-row hot user is NOT hot at scale
+    assert SESSIONIZE_STATS["route"] == "unsalted"
+    assert SESSIONIZE_STATS["est_max_user_rows"] >= 3000
+
+
 def test_sessionize_matches_sql_shape(ray_session, event_frame):
     got = sessionize(rd.from_pandas(event_frame), gap="30min").to_pandas()
     # oracle: per-user scan

@@ -139,6 +139,52 @@ def test_substring_dup_spans_vs_sa_oracle(ray_session, docs_table):
     assert list(zip(got["doc_id"], got["start"], got["stop"])) == exp
 
 
+def test_substring_verify_routes_identical(ray_session, docs_table):
+    """The r4 broadcast+rehash verify (default: candidate hash set
+    broadcast once, windows RECOMPUTED with text attached, one thin
+    win-keyed exchange) equals the r3 co-group attach fallback
+    (broadcast_max_cands=0) row for row, and the route gate observably
+    engages both ways."""
+    from idf.functions.text_dedup import SUBSTRING_STATS
+
+    def run(**kw):
+        # read-rooted plan: the fused gate's metadata byte estimate is
+        # known pre-execution (as in the production harness)
+        src = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        return (
+            substring_dup_positions(src, min_len=30, **kw)
+            .to_pandas()
+            .sort_values(["doc_id", "pos"])
+            .reset_index(drop=True)
+        )
+
+    fused = run(fused_max_bytes=1 << 40)
+    assert SUBSTRING_STATS["verify_route"] == "fused_winkey"
+    assert len(fused) > 0
+
+    bcast = run(fused_max_bytes=0)
+    assert SUBSTRING_STATS["verify_route"] == "broadcast_rehash"
+    assert SUBSTRING_STATS["win_verify"] == "driver"
+    assert SUBSTRING_STATS["n_candidates"] >= len(bcast)
+    pd.testing.assert_frame_equal(fused, bcast)
+
+    slow = run(fused_max_bytes=0, broadcast_max_cands=0)
+    assert SUBSTRING_STATS["verify_route"] == "cogroup_attach"
+    pd.testing.assert_frame_equal(fused, slow)
+
+    # force the distributed win-verify inside the broadcast route
+    import idf.functions.text_dedup as td
+
+    old = td._DRIVER_VERIFY_MAX
+    td._DRIVER_VERIFY_MAX = 0
+    try:
+        dist = run(fused_max_bytes=0)
+        assert SUBSTRING_STATS["win_verify"] == "exchange"
+    finally:
+        td._DRIVER_VERIFY_MAX = old
+    pd.testing.assert_frame_equal(fused, dist)
+
+
 def test_substring_spans_bucketed_large_path(ray_session, docs_table):
     """driver_merge_max_positions=0 forces the distributed doc_id-shuffle
     merge; results must be identical to the driver fast path."""
