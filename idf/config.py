@@ -56,6 +56,17 @@ class DedupConfig:
     # parity (FIXTURES.md §2 drink-270cw row). Flip on for corpora
     # where upright-normalized hashing is wanted.
     exif_from_bytes: bool = False
+    # trust-but-verify source mode: take the input table's precomputed
+    # ``phash`` column (input_hint schema) instead of decoding every
+    # image, and decode only a deterministic content-keyed sample to
+    # verify the column (stages/hash_stage.py:
+    # precomputed_hash_stage / verify_precomputed_sample). A 100-TB
+    # deployment never re-decodes a trusted corpus; the sampled decode
+    # is the fidelity gate. OFF by default: the reference always
+    # decodes, and the gate below fails the run on any mismatch.
+    use_precomputed_phash: bool = False
+    phash_verify_fraction: float = 0.01
+    phash_verify_max_mismatch: int = 0
     # decode stage execution (see stages/hash_stage.py: tasks by default)
     decode_batch_size: int = 512
     decode_concurrency: int | None = None  # None -> size from cluster CPUs

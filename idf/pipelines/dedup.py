@@ -75,6 +75,35 @@ def run_dedup(
         },
     )
 
+    # trust-but-verify gate (cfg.use_precomputed_phash): the hash stage
+    # took the table's phash column and re-decoded only a content-keyed
+    # sample; aggregate the per-row verify outcomes (one local scan of
+    # the int8 column) into the manifest and FAIL the run if the column
+    # lied more than the configured tolerance. A poisoned hash column
+    # must be a loud failed run, never silently-wrong clusters.
+    if cfg.use_precomputed_phash and "verify" in pads.dataset(hashes_dir).schema.names:
+        vt = pads.dataset(hashes_dir).to_table(columns=["verify", "status"])
+        v = vt["verify"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_ok = pc.sum(pc.equal(vt["status"], "ok")).as_py() or 0
+        sampled = int((v > 0).sum())
+        mismatched = int((v == 2).sum())
+        man.record_metrics(
+            "hashes",
+            {
+                "phash_verified": sampled,
+                "phash_verify_mismatch": mismatched,
+                "phash_verified_fraction": (sampled / n_ok) if n_ok else 0.0,
+            },
+        )
+        if mismatched > cfg.phash_verify_max_mismatch:
+            raise RuntimeError(
+                f"precomputed-phash verification failed: {mismatched} of "
+                f"{sampled} sampled rows mismatched the real decode "
+                f"(tolerance {cfg.phash_verify_max_mismatch}); the input "
+                "table's phash column is not trustworthy — rerun with "
+                "use_precomputed_phash=False"
+            )
+
     # 2. exact-hash collapse over the int64 phash column only — id
     # strings stay out of the shuffle; dist-0 membership is recovered
     # by the CC stage's hashes join. Driver fast path below the guard

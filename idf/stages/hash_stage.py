@@ -117,6 +117,124 @@ class DecodeHasher:
         )
 
 
+class PrecomputedHasher:
+    """Trust-but-verify hash stage (r3 verdict #2): take the input
+    table's precomputed ``phash`` column (input_hint schema ships one)
+    instead of decoding every image, and re-decode only a deterministic
+    content-keyed sample as the fidelity gate.
+
+    Semantics vs ``DecodeHasher`` (bit-compatible on a truthful table):
+      - ``pixels`` = ``w*h`` from the table (the decode path reports
+        ORIGINAL dims, which is exactly what w/h are), ``size`` =
+        encoded byte length (``pc.binary_length`` — the bytes column is
+        still read by the fused task but never decoded).
+      - rows whose metadata marks them undecodable (``w<=0 or h<=0``,
+        the convention the synth generator and any honest corpus writer
+        use for rows whose hash could not be computed) -> status
+        ``skip:decode``, mirroring the decode path on corrupt bytes.
+      - the verify sample is content-keyed (pandas siphash over
+        image_id + splitmix64), NOT ``random_sample`` — Ray's seeded
+        sampler depends on dynamic block layout and is not
+        run-deterministic (see ann.py:train_ivf_centroids).
+
+    Output adds a ``verify`` int8 column: 0 = trusted (not sampled),
+    1 = sampled & matched the real decode, 2 = sampled & MISMATCHED
+    (wrong hash, or decode failed where metadata said ok). The pipeline
+    aggregates it into manifest metrics and fails the run when
+    mismatches exceed ``cfg.phash_verify_max_mismatch``.
+
+    At 100 TB this is the only sane default: a trusted corpus is never
+    re-decoded, the sampled decode bounds verify cost at
+    ``verify_fraction`` of the full-decode cost, and the gate converts
+    a silently-poisoned hash column into a loud failed run.
+    """
+
+    def __init__(
+        self,
+        algo: str = "phash",
+        exif_from_bytes: bool = False,
+        verify_fraction: float = 0.01,
+        seed: int = 42,
+    ):
+        if algo != "phash":
+            raise ValueError(
+                "use_precomputed_phash trusts the input table's `phash` "
+                f"column, which is pHash by contract (input_hint); algo={algo!r} "
+                "must run the decode path"
+            )
+        self.decoder = DecodeHasher(algo, exif_from_bytes=exif_from_bytes)
+        f = min(max(float(verify_fraction), 0.0), 1.0)
+        # uint64 sample threshold: scale inside int64 range first, then
+        # double in uint64 space (np.uint64(pyint > 2^63-1) overflows)
+        self.thresh = np.uint64(int(f * float(2**63 - 1))) * np.uint64(2)
+        self.sample_all = f >= 1.0
+        self.verify_fraction = f
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        fmt_ok = pc.is_in(pc.utf8_lower(pc.cast(batch["fmt"], pa.string())), value_set=_FMT_SET)
+        fmt_ok = pc.fill_null(fmt_ok, False).combine_chunks().to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        meta_ok = (w > 0) & (h > 0)
+        ok = fmt_ok & meta_ok
+        phash = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
+        phash[~ok] = 0
+        pixels = np.where(ok, w * h, np.int64(-1))
+        sizes = (
+            pc.binary_length(batch["bytes"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        sizes = np.where(ok, sizes, np.int64(-1))
+        verify = np.zeros(n, dtype=np.int8)
+        if self.verify_fraction > 0.0 and ok.any():
+            if self.sample_all:
+                sample = ok
+            else:
+                from idf.functions.ann import _mix64
+
+                ids = batch["image_id"].to_numpy(zero_copy_only=False)
+                hv = _mix64(pd.util.hash_array(ids.astype(object)), self.seed)
+                sample = ok & (hv <= self.thresh)
+            if sample.any():
+                sub = batch.filter(pa.array(sample))
+                dec = self.decoder(sub)
+                dec_ok = pc.equal(dec["status"], "ok").to_numpy(zero_copy_only=False)
+                dec_ph = dec["phash"].to_numpy(zero_copy_only=False)
+                sub_ph = sub["phash"].to_numpy(zero_copy_only=False)
+                match = dec_ok & (dec_ph == sub_ph)
+                verify[sample] = np.where(match, np.int8(1), np.int8(2))
+        status = np.where(~fmt_ok, "skip:fmt", np.where(~meta_ok, "skip:decode", "ok"))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "phash": pa.array(phash),
+                "pixels": pa.array(pixels),
+                "size": pa.array(sizes),
+                "caption": batch["caption"],
+                "status": pa.array(status.astype(object), pa.string()),
+                "verify": pa.array(verify),
+            }
+        )
+
+
+PRECOMPUTED_COLUMNS = ("w", "h", "phash")
+
+
+def _make_hasher(cfg: DedupConfig):
+    """The per-config hasher callable both hash-stage paths share."""
+    if cfg.use_precomputed_phash:
+        return PrecomputedHasher(
+            cfg.algo,
+            exif_from_bytes=cfg.exif_from_bytes,
+            verify_fraction=cfg.phash_verify_fraction,
+        )
+    return DecodeHasher(cfg.algo, exif_from_bytes=cfg.exif_from_bytes)
+
+
 def hash_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     """Decode+hash as STATELESS TASKS by default.
 
@@ -129,7 +247,7 @@ def hash_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     genuinely heavy-setup stage (model weights), set
     ``cfg.decode_actor_pool=True`` to get the classic pool.
     """
-    if getattr(cfg, "decode_actor_pool", False):
+    if getattr(cfg, "decode_actor_pool", False) and not cfg.use_precomputed_phash:
         conc = cfg.decode_concurrency or available_cpus()
         return images.map_batches(
             DecodeHasher,
@@ -144,7 +262,7 @@ def hash_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
             num_cpus=1,
         )
     return images.map_batches(
-        DecodeHasher(cfg.algo, exif_from_bytes=cfg.exif_from_bytes),
+        _make_hasher(cfg),
         batch_format="pyarrow",
         batch_size=cfg.decode_batch_size,
         zero_copy_batch=True,
@@ -343,13 +461,18 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
         # the fragment planner below is parquet-specific; Lance sources
         # go through read_lance (fragment-parallel at the storage layer)
         # into the unfused decode+hash stage
-        return hash_stage(
-            read_images(images_path, columns=["image_id", "bytes", "fmt", "caption"]),
-            cfg,
+        cols = ["image_id", "bytes", "fmt", "caption"] + (
+            list(PRECOMPUTED_COLUMNS) if cfg.use_precomputed_phash else []
         )
+        return hash_stage(read_images(images_path, columns=cols), cfg)
     if _is_loose_file_dir(images_path):
         # the reference's native input mode: a directory of image FILES
         # (Commands.java:72-96 walks the tree) rather than a table
+        if cfg.use_precomputed_phash:
+            raise ValueError(
+                "use_precomputed_phash needs a table with a phash column; "
+                f"{images_path!r} is a loose-file directory (no metadata)"
+            )
         return hash_stage(read_images_dir(images_path), cfg)
     ncpu = available_cpus()
     tasks = plan_read_tasks(images_path, ncpu)
@@ -357,21 +480,37 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
         return rd.from_arrow(HASH_SCHEMA.empty_table())
     import pyarrow.dataset as pads
 
-    have_orient = "orientation" in pads.dataset(images_path).schema.names
+    schema_names = pads.dataset(images_path).schema.names
+    have_orient = "orientation" in schema_names
     columns = ["image_id", "bytes", "fmt", "caption"] + (
         ["orientation"] if have_orient else []
     )
+    if cfg.use_precomputed_phash:
+        missing = [c for c in PRECOMPUTED_COLUMNS if c not in schema_names]
+        if missing:
+            raise ValueError(
+                f"use_precomputed_phash needs columns {PRECOMPUTED_COLUMNS} in "
+                f"the input table; {images_path!r} lacks {missing}"
+            )
+        columns += list(PRECOMPUTED_COLUMNS)
     algo, batch_rows = cfg.algo, cfg.decode_batch_size
     exif_bytes = cfg.exif_from_bytes
+    use_pre = cfg.use_precomputed_phash
+    verify_frac = cfg.phash_verify_fraction
+    hasher_key = (algo, exif_bytes, use_pre, verify_frac)
 
     def read_and_hash(batch: pa.Table):
         import pyarrow.parquet as pq
 
-        hasher = _FUSED_HASHERS.get((algo, exif_bytes))
+        hasher = _FUSED_HASHERS.get(hasher_key)
         if hasher is None:
-            hasher = _FUSED_HASHERS[(algo, exif_bytes)] = DecodeHasher(
-                algo, exif_from_bytes=exif_bytes
-            )
+            if use_pre:
+                hasher = PrecomputedHasher(
+                    algo, exif_from_bytes=exif_bytes, verify_fraction=verify_frac
+                )
+            else:
+                hasher = DecodeHasher(algo, exif_from_bytes=exif_bytes)
+            _FUSED_HASHERS[hasher_key] = hasher
         for paths in batch["paths"].to_pylist():
             for p in paths:
                 pf = pq.ParquetFile(p)

@@ -1,0 +1,141 @@
+"""Trust-but-verify precomputed-phash mode (r3 verdict #2).
+
+The input_hint schema ships ``phash:int64`` alongside the bytes; a
+100-TB deployment never re-decodes a trusted corpus. These tests pin:
+  - bit-parity: the precomputed path produces the SAME hashes table and
+    the SAME cluster partition as the full-decode path on a truthful
+    table (the synth generator computes phash with the same kernel);
+  - the verify sample actually decodes (metrics show sampled>0) and a
+    poisoned phash column fails the run loudly;
+  - the mode refuses inputs that can't support it (loose-file dirs,
+    tables without the metadata columns).
+"""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from idf.config import DedupConfig
+from idf.pipelines.dedup import read_stage, run_dedup
+
+
+def _partition(run_dir):
+    t = read_stage(run_dir, "clusters").to_arrow_refs()
+    import ray
+
+    rows = pa.concat_tables([ray.get(r) for r in t]).to_pylist()
+    comp = collections.defaultdict(set)
+    for r in rows:
+        comp[r["cluster_id"]].add(r["image_id"])
+    return {frozenset(v) for v in comp.values()}
+
+
+@pytest.fixture(scope="module")
+def both_runs(ray_session, small_images_table, tmp_path_factory):
+    dec_dir = str(tmp_path_factory.mktemp("run_decode"))
+    pre_dir = str(tmp_path_factory.mktemp("run_pre"))
+    run_dedup(small_images_table, dec_dir, DedupConfig(), resume=False, do_apply=False)
+    man = run_dedup(
+        small_images_table,
+        pre_dir,
+        DedupConfig(use_precomputed_phash=True, phash_verify_fraction=0.25),
+        resume=False,
+        do_apply=False,
+    )
+    return dec_dir, pre_dir, man
+
+
+def test_precomputed_hashes_bit_parity(both_runs):
+    dec_dir, pre_dir, _ = both_runs
+    cols = ["image_id", "phash", "pixels", "size", "status"]
+    dec = pads.dataset(f"{dec_dir}/hashes").to_table(columns=cols).to_pandas()
+    pre = pads.dataset(f"{pre_dir}/hashes").to_table(columns=cols).to_pandas()
+    dec = dec.sort_values("image_id").reset_index(drop=True)
+    pre = pre.sort_values("image_id").reset_index(drop=True)
+    for c in cols:
+        assert (dec[c] == pre[c]).all(), f"column {c} diverged"
+
+
+def test_precomputed_same_partition(both_runs):
+    dec_dir, pre_dir, _ = both_runs
+    assert _partition(dec_dir) == _partition(pre_dir)
+
+
+def test_verify_metrics_recorded(both_runs):
+    _, _, man = both_runs
+    m = man.summary()["hashes"]["metrics"]
+    assert m["phash_verified"] > 0, "content-keyed sample selected nothing"
+    assert m["phash_verify_mismatch"] == 0
+    assert 0.0 < m["phash_verified_fraction"] <= 1.0
+
+
+def test_mismatch_injection_fails_gate(ray_session, small_images_table, tmp_path):
+    # poison 3 phash values; full-fraction verify must catch and raise
+    t = pq.read_table(small_images_table)
+    ph = t["phash"].to_numpy(zero_copy_only=False).copy()
+    ok_idx = np.flatnonzero(t["w"].to_numpy(zero_copy_only=False) > 0)[:3]
+    ph[ok_idx] ^= 0x5A5A5A5A
+    t = t.set_column(t.schema.get_field_index("phash"), "phash", pa.array(ph))
+    bad = str(tmp_path / "poisoned.parquet")
+    pq.write_table(t, bad)
+    with pytest.raises(RuntimeError, match="verification failed"):
+        run_dedup(
+            bad,
+            str(tmp_path / "run"),
+            DedupConfig(use_precomputed_phash=True, phash_verify_fraction=1.0),
+            resume=False,
+            do_apply=False,
+        )
+
+
+def test_mismatch_within_tolerance_passes(ray_session, small_images_table, tmp_path):
+    t = pq.read_table(small_images_table)
+    ph = t["phash"].to_numpy(zero_copy_only=False).copy()
+    ok_idx = np.flatnonzero(t["w"].to_numpy(zero_copy_only=False) > 0)[:1]
+    ph[ok_idx] ^= 0x1
+    t = t.set_column(t.schema.get_field_index("phash"), "phash", pa.array(ph))
+    bad = str(tmp_path / "one_bad.parquet")
+    pq.write_table(t, bad)
+    man = run_dedup(
+        bad,
+        str(tmp_path / "run"),
+        DedupConfig(
+            use_precomputed_phash=True,
+            phash_verify_fraction=1.0,
+            phash_verify_max_mismatch=1,
+        ),
+        resume=False,
+        do_apply=False,
+    )
+    assert man.summary()["hashes"]["metrics"]["phash_verify_mismatch"] == 1
+
+
+def test_loose_dir_rejected(tmp_path):
+    from idf.stages.hash_stage import fused_hash_stage
+
+    d = tmp_path / "loose"
+    d.mkdir()
+    (d / "a.jpg").write_bytes(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(ValueError, match="loose-file directory"):
+        fused_hash_stage(str(d), DedupConfig(use_precomputed_phash=True))
+
+
+def test_missing_columns_rejected(ray_session, small_images_table, tmp_path):
+    from idf.stages.hash_stage import fused_hash_stage
+
+    t = pq.read_table(small_images_table).drop_columns(["phash", "w", "h"])
+    p = str(tmp_path / "nometa.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(ValueError, match="lacks"):
+        fused_hash_stage(p, DedupConfig(use_precomputed_phash=True))
+
+
+def test_non_phash_algo_rejected():
+    from idf.stages.hash_stage import PrecomputedHasher
+
+    with pytest.raises(ValueError, match="phash"):
+        PrecomputedHasher("ahash")
