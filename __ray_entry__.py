@@ -473,13 +473,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sign-LSH bucketed pairs: probabilistic recall but a fully
         # DETERMINISTIC approximation, so the DuckDB oracle replicates
         # the bucket math exactly (hyperplane literals) and the gate
-        # hash-checks it — unlike ivf_pairs whose sampled training makes
-        # it rows-only
+        # hash-checks it
         "emb_lsh_pairs": lambda sf: __import__("idf.functions.ann", fromlist=["lsh_pairs"])
         .lsh_pairs(_emb(sf), tau=0.4, n_bits=8, n_tables=4)
         .select_columns(["vec_id_a", "vec_id_b"]),
-        # sub-quadratic approximate near-dup pairs (probabilistic recall
-        # -> rows-only check; exact counterpart is emb_cosine_pairs)
+        # sub-quadratic approximate near-dup pairs; hash-checked since
+        # r4 — the oracle retrains the (deterministic) coarse quantizer
+        # locally and embeds the centroids as SQL literals
         "emb_ivf_pairs": lambda sf: ivf_pairs(_emb(sf), tau=0.4).select_columns(
             ["vec_id_a", "vec_id_b"]
         ),
@@ -1115,6 +1115,17 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "emb_lsh_pairs": _lsh_pairs_sql(tau=0.4, n_bits=8, n_tables=4, dim=64),
+        # IVF ops hash-checked via locally-retrained centroid literals
+        # (r3 verdict #4); the driver compares at sf=0.01, so the local
+        # trainer reads that table — same convention as img_oracle_sql
+        "emb_ann_ivf": _ivf_topk_sql(
+            "/root/testdata/sf0.01/embeddings.parquet",
+            n_queries=8, k=5, n_centroids=16, nprobe=4,
+        ),
+        "emb_ivf_pairs": _ivf_pairs_sql(
+            "/root/testdata/sf0.01/embeddings.parquet",
+            tau=0.4, n_centroids=64, assign_probe=2,
+        ),
     }
 
 
@@ -1152,4 +1163,101 @@ def _lsh_pairs_sql(tau: float, n_bits: int, n_tables: int, dim: int) -> str:
         JOIN embeddings y ON y.vec_id = c.vec_id_b
         WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                      CAST(y.embedding AS DOUBLE[])) >= {tau}
+    """
+
+
+def _ivf_cents_cte(emb_path: str, n_centroids: int, seed: int = 42) -> str:
+    """Train the IVF coarse quantizer LOCALLY (exact replica of the
+    distributed trainer — see ann.train_ivf_centroids_local) and emit
+    the centroids as a VALUES CTE of float64 literals. This is what
+    turns the IVF operators from rows-only `no_oracle` checks into
+    hash-green ones (r3 verdict #4), the same move _lsh_pairs_sql made
+    for sign-LSH: the approximation is probabilistic in RECALL but
+    fully deterministic in COMPUTATION, so SQL can replicate it."""
+    from idf.functions.ann import train_ivf_centroids_local
+
+    cents = train_ivf_centroids_local(emb_path, n_centroids, seed)
+    rows = ",\n            ".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in c)}])" for i, c in enumerate(cents)
+    )
+    return f"SELECT * FROM (VALUES\n            {rows}\n          ) AS v(cell, c)"
+
+
+def _ivf_pairs_sql(emb_path: str, tau: float, n_centroids: int, assign_probe: int) -> str:
+    """Exact SQL replica of ann.ivf_pairs: same trained centroid doubles
+    as literals, top-`assign_probe` cells per vector with the stable tie
+    order (sim DESC, cell ASC — the Python argsort is kind='stable'),
+    DISTINCT cross-cell pair dedup, exact cosine verify."""
+    cte = _ivf_cents_cte(emb_path, n_centroids)
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), cents AS (
+          {cte}
+        ), keys AS (
+          SELECT vec_id, cell FROM (
+            SELECT b.vec_id, cents.cell,
+                   row_number() OVER (
+                     PARTITION BY b.vec_id
+                     ORDER BY list_cosine_similarity(b.e, cents.c) DESC, cents.cell ASC
+                   ) AS rn
+            FROM base b CROSS JOIN cents
+          ) WHERE rn <= {assign_probe}
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+          FROM keys a JOIN keys b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        SELECT c.vec_id_a, c.vec_id_b
+        FROM cand c
+        JOIN base x ON x.vec_id = c.vec_id_a
+        JOIN base y ON y.vec_id = c.vec_id_b
+        WHERE list_cosine_similarity(x.e, y.e) >= {tau}
+    """
+
+
+def _ivf_topk_sql(emb_path: str, n_queries: int, k: int, n_centroids: int, nprobe: int) -> str:
+    """Exact SQL replica of ann.ivf_topk: trained centroid literals,
+    argmax cell assignment (= rn 1 under sim DESC, cell ASC), top-nprobe
+    probe cells per query (stable tie order), candidates restricted to
+    probed cells, final rank by sim DESC, neighbor ASC."""
+    cte = _ivf_cents_cte(emb_path, n_centroids)
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), cents AS (
+          {cte}
+        ), assign AS (
+          SELECT vec_id, cell FROM (
+            SELECT b.vec_id, cents.cell,
+                   row_number() OVER (
+                     PARTITION BY b.vec_id
+                     ORDER BY list_cosine_similarity(b.e, cents.c) DESC, cents.cell ASC
+                   ) AS rn
+            FROM base b CROSS JOIN cents
+          ) WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS qid, e AS qe FROM base WHERE vec_id < {n_queries}
+        ), probes AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, cents.cell,
+                   row_number() OVER (
+                     PARTITION BY q.qid
+                     ORDER BY list_cosine_similarity(q.qe, cents.c) DESC, cents.cell ASC
+                   ) AS rn
+            FROM q CROSS JOIN cents
+          ) WHERE rn <= {nprobe}
+        ), cand AS (
+          SELECT q.qid, b.vec_id AS nid,
+                 list_cosine_similarity(q.qe, b.e) AS sim
+          FROM q
+          JOIN probes p ON p.qid = q.qid
+          JOIN assign a ON a.cell = p.cell
+          JOIN base b ON b.vec_id = a.vec_id
+          WHERE b.vec_id <> q.qid
+        )
+        SELECT qid AS vec_id, nid AS neighbor_id, rank FROM (
+          SELECT qid, nid,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+          FROM cand
+        ) WHERE rank <= {k}
     """

@@ -266,7 +266,9 @@ def train_ivf_centroids(
 
     n_total = max(embeddings.count(), 1)
     frac = min(1.0, (n_centroids * 64) / n_total)
-    thresh = np.uint64(int(frac * float(2**63 - 1)) * 2) if frac < 1.0 else None
+    # scale inside int64 range, then double in uint64 space (a python
+    # int > 2^63-1 overflows np.uint64's C-long path)
+    thresh = np.uint64(int(frac * float(2**63 - 1))) * np.uint64(2) if frac < 1.0 else None
 
     def _samp(t: pa.Table) -> pa.Table:
         t = t.select(["vec_id", "embedding"])
@@ -282,6 +284,12 @@ def train_ivf_centroids(
         .sort_values("vec_id")
     )
     x = _normalize(_stack(sample["embedding"]))
+    return _kmeans_spherical(x, n_centroids, seed, iters)
+
+
+def _kmeans_spherical(x: np.ndarray, n_centroids: int, seed: int, iters: int) -> np.ndarray:
+    """The Lloyd loop shared by the distributed and local trainers —
+    byte-identical centroids for the same (sorted) sample matrix."""
     rng = np.random.default_rng(seed)
     n_centroids = min(n_centroids, len(x))
     cents = x[rng.choice(len(x), n_centroids, replace=False)]
@@ -298,6 +306,32 @@ def train_ivf_centroids(
             counts[empty] = 1
         cents = _normalize(new / counts[:, None])
     return cents
+
+
+def train_ivf_centroids_local(
+    parquet_path: str, n_centroids: int, seed: int = 42, iters: int = 10
+) -> np.ndarray:
+    """Driver-side replica of :func:`train_ivf_centroids` over a parquet
+    path — the same content-keyed sample (splitmix64 over vec_id), the
+    same vec_id sort, the same Lloyd loop — so a SQL oracle can embed
+    the EXACT trained centroids as float64 literals and hash-check the
+    IVF operators the way ``_lsh_pairs_sql`` hash-checks sign-LSH
+    (r3 verdict #4). A pytest pins local == distributed bit-equality."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(parquet_path)
+    n_total = max(ds.count_rows(), 1)
+    frac = min(1.0, (n_centroids * 64) / n_total)
+    t = ds.to_table(columns=["vec_id", "embedding"])
+    if frac < 1.0:
+        thresh = np.uint64(int(frac * float(2**63 - 1))) * np.uint64(2)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _mix64(ids.view(np.uint64), seed) <= thresh
+        t = t.filter(pa.array(keep))
+    sample = t.to_pandas().sort_values("vec_id")
+    x = _normalize(_stack(sample["embedding"]))
+    return _kmeans_spherical(x, n_centroids, seed, iters)
 
 
 def ivf_pairs(
@@ -338,7 +372,9 @@ def ivf_pairs(
         if not n:
             return t.append_column("cell", pa.array([], pa.int64()))
         m = _normalize(_stack_arrow(t["embedding"]))
-        cells = np.argsort(-(m @ c.T), axis=1)[:, :assign_probe]
+        # stable: equal sims keep ascending cell order, matching the SQL
+        # oracle's ORDER BY sim DESC, cell ASC (r3 verdict #4)
+        cells = np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :assign_probe]
         # fewer centroids than assign_probe (tiny training sample,
         # n_centroids=1): tile by the ACTUAL probe width, else the
         # append_column gets n*k values for an n*probe table (r2 ADVICE)
@@ -410,7 +446,8 @@ def ivf_topk(
     qrows = _collect_query_rows(embeddings, qset)
     qmat = _normalize(_stack(qrows["embedding"]))
     qids = qrows["vec_id"].to_numpy(np.int64)
-    probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # stable: SQL-identical tie order (ORDER BY sim DESC, cell ASC)
+    probe_cells = np.argsort(-(qmat @ cents.T), axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
     probe_ref = ray.put((qids, qmat, probe_cells))
 
     from idf.ops import get_broadcast

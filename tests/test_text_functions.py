@@ -390,3 +390,58 @@ def test_lsh_pairs_bucket_cap_chunking_lossless(ray_session):
     assert len(full) == 36  # all 9-choose-2 pairs of the tight family
     for cap in (2, 3, 5):
         assert pairset(cap) == full, cap
+
+
+def test_ivf_local_trainer_bit_parity(emb):
+    """The oracle-side local trainer must reproduce the distributed
+    trainer EXACTLY — it is what lets _ivf_*_sql embed the trained
+    centroids as literals and hash-check the IVF ops (r3 verdict #4)."""
+    from idf.functions.ann import train_ivf_centroids, train_ivf_centroids_local
+
+    dist = train_ivf_centroids(emb, n_centroids=16, seed=42)
+    local = train_ivf_centroids_local(f"{SF}/embeddings.parquet", n_centroids=16, seed=42)
+    assert dist.shape == local.shape
+    assert (dist == local).all(), "local trainer diverged from distributed"
+
+
+def test_ivf_sql_oracle_parity_small_sf(emb):
+    """Full gate simulation at sf0.001 for both IVF ops: Ray result ==
+    DuckDB running the centroid-literal SQL (same check the driver runs
+    at sf0.01)."""
+    import duckdb
+
+    from __ray_entry__ import _ivf_pairs_sql, _ivf_topk_sql
+    from idf.functions.ann import ivf_pairs, ivf_topk
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+
+    ray_topk = (
+        ivf_topk(emb, list(range(8)), k=5)
+        .to_pandas()[["vec_id", "neighbor_id", "rank"]]
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    sql_topk = (
+        con.execute(_ivf_topk_sql(f"{SF}/embeddings.parquet", 8, 5, 16, 4))
+        .df()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ray_topk, sql_topk, check_dtype=False)
+
+    ray_pairs = (
+        ivf_pairs(emb, tau=0.4)
+        .to_pandas()[["vec_id_a", "vec_id_b"]]
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
+    sql_pairs = (
+        con.execute(_ivf_pairs_sql(f"{SF}/embeddings.parquet", 0.4, 64, 2))
+        .df()
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ray_pairs, sql_pairs, check_dtype=False)
