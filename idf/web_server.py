@@ -141,18 +141,41 @@ class DedupServer:
         return self.start_job(_run)
 
     # -- tables -------------------------------------------------------
-    def _stage_rows(self, stage: str) -> list[dict]:
+    #: rows per response when the client sends no ``limit`` — a bound,
+    #: not a materialization: the handler streams batches and stops.
+    DEFAULT_PAGE = 50_000
+
+    def _stage_rows(self, stage: str, limit: int | None = None, offset: int = 0) -> list[dict]:
+        """Paged stage read (r3 verdict #5): stream ``iter_batches`` and
+        stop as soon as the page is full — the driver never holds more
+        than ``offset + limit`` rows, where the old ``to_pandas()`` held
+        the entire stage per request (the reference loads the whole CSV,
+        WebServer.java:289-328 — faithful but wrong at our scale)."""
         if self.run_dir is None:
             return []
         from idf.pipelines.dedup import read_stage
 
-        return read_stage(self.run_dir, stage).to_pandas().to_dict("records")
+        limit = self.DEFAULT_PAGE if limit is None else max(0, limit)
+        out: list[dict] = []
+        seen = 0
+        for b in read_stage(self.run_dir, stage).iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        ):
+            n = len(b)
+            if seen + n > offset:
+                sl = b.slice(max(0, offset - seen))
+                take = limit - len(out)
+                out.extend(sl.slice(0, take).to_pylist())
+            seen += n
+            if len(out) >= limit:
+                break
+        return out
 
-    def clusters(self) -> list[dict]:
-        return self._stage_rows("clusters")
+    def clusters(self, limit: int | None = None, offset: int = 0) -> list[dict]:
+        return self._stage_rows("clusters", limit, offset)
 
-    def plan(self) -> list[dict]:
-        return self._stage_rows("plan")
+    def plan(self, limit: int | None = None, offset: int = 0) -> list[dict]:
+        return self._stage_rows("plan", limit, offset)
 
     def update_plan(self, updates: list[dict]) -> None:
         """savePlan analog (WebServer.java:218-236): normalize actions,
@@ -195,6 +218,17 @@ class DedupServer:
         return bytes(r["bytes"]), r["media_type"]
 
 
+def _index_html() -> bytes:
+    """The static single-page UI (r3 verdict #3). Original markup/JS over
+    this server's /api endpoints, matching the reference UI's workflow
+    (index.html:334-401): detection-mode presets (identical -> 1.0/ahash,
+    similar -> 0.95/phash -> M10 radius in the engine), process + job
+    polling, cluster browser, per-image plan editing, save, apply."""
+    path = os.path.join(os.path.dirname(__file__), "static", "index.html")
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def _make_handler(srv: DedupServer):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test output
@@ -216,19 +250,37 @@ def _make_handler(srv: DedupServer):
             self.end_headers()
             self.wfile.write(body)
 
+        def _page_args(self, q) -> tuple[int | None, int]:
+            try:
+                limit = int(q["limit"][0]) if "limit" in q else None
+                offset = int(q["offset"][0]) if "offset" in q else 0
+            except ValueError:
+                return None, 0
+            return limit, max(0, offset)
+
         def do_GET(self):  # noqa: N802 — http.server API
             u = urlparse(self.path)
             q = parse_qs(u.query)
-            if u.path.startswith("/api/job/"):
+            if u.path in ("/", "/index.html"):
+                # the reference serves its SPA from resources/public/
+                # (index.html: cluster browser, plan editor, presets);
+                # ours is an original page over the same /api surface
+                body = _index_html()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif u.path.startswith("/api/job/"):
                 job = srv.jobs.get(u.path.rsplit("/", 1)[1])
                 if job is None:
                     self._json({"error": "Job not found"}, 404)
                 else:
                     self._json(job.to_dict())
             elif u.path == "/api/clusters":
-                self._json(srv.clusters())
+                self._json(srv.clusters(*self._page_args(q)))
             elif u.path == "/api/plan":
-                self._json(srv.plan())
+                self._json(srv.plan(*self._page_args(q)))
             elif u.path == "/api/image":
                 image_id = (q.get("id") or [""])[0]
                 if not image_id:

@@ -278,3 +278,112 @@ def test_web_server_image_on_loose_dir_and_error_path(ray_session, tmp_path):
         assert ei.value.code == 500
     finally:
         httpd.shutdown()
+
+
+def test_ui_workflow_loopback(ray_session, small_images_table, tmp_path):
+    """The reference's WebUITest journey (app/WebUITest.java:87-623)
+    reproduced without Selenium: GET / serves the SPA wired to the same
+    endpoints, then the exact request sequence the page's script issues
+    — process -> poll -> PAGED clusters/plan loads -> auto-select edit
+    (largest kept per group, WebUITest.java:521-575) -> save -> apply —
+    is driven over loopback HTTP and asserted server-side."""
+    import collections
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    from idf.web_server import serve
+
+    httpd, state = serve(port=0, run_root=str(tmp_path))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=60) as r:
+            return r.read(), r.headers
+
+    def get_json(path):
+        return json.loads(get(path)[0])
+
+    def post(path, data=None):
+        req = urllib.request.Request(base + path, data=data or b"", method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            body = r.read()
+            try:
+                return json.loads(body)
+            except ValueError:
+                return body.decode()
+
+    def wait_job(job_id):
+        for _ in range(600):
+            j = get_json(f"/api/job/{job_id}")
+            if j["status"] != "running":
+                return j
+            time.sleep(0.2)
+        raise TimeoutError
+
+    def fetch_all(path, page):
+        # the SPA's paged loader: ask until a short page arrives
+        rows, off = [], 0
+        while True:
+            batch = get_json(f"{path}?limit={page}&offset={off}")
+            rows.extend(batch)
+            if len(batch) < page:
+                return rows
+            off += page
+
+    try:
+        # 1. uiLoadsSuccessfully: GET / is the SPA, wired to the API
+        html, headers = get("/")
+        assert headers["Content-Type"].startswith("text/html")
+        page = html.decode()
+        for needle in (
+            "/api/process", "/api/job/", "/api/clusters", "/api/plan",
+            "/api/plan/update", "/api/apply", "/api/image",
+        ):
+            assert needle in page, f"UI not wired to {needle}"
+        # setupPanelDisplaysCorrectly: similar-mode defaults + presets
+        assert 'value="0.95"' in page and "phash" in page
+        assert '"1.0"' in page and "ahash" in page  # identical preset
+
+        # 2. processImagesStartsJob -> poll to completion
+        r = post(f"/api/process?table={small_images_table}&threshold=0.95&algo=phash")
+        job = wait_job(r["jobId"])
+        assert job["status"] == "completed", job
+
+        # 3. loadData, paged: pages are disjoint slices of the stage
+        clusters = fetch_all("/api/clusters", page=4)
+        plan = fetch_all("/api/plan", page=4)
+        full_plan = get_json("/api/plan")
+        assert {p["image_id"] for p in plan} == {p["image_id"] for p in full_plan}
+        assert len(plan) == len(full_plan) > 4, "pagination did not page"
+        assert get_json(f"/api/plan?limit=4&offset={len(full_plan) + 10}") == []
+
+        # 4. autoSelectButtonWorks semantics, computed like the UI does:
+        # keep the largest `size` per group, delete the rest
+        by_group = collections.defaultdict(list)
+        sizes = {p["image_id"]: p["size"] for p in plan}
+        for c in clusters:
+            by_group[c["cluster_id"]].append(c["image_id"])
+        updates = []
+        for ids in by_group.values():
+            best = max(ids, key=lambda i: (sizes.get(i, -1), i))
+            updates.extend(
+                {"image_id": i, "action": "keep" if i == best else "delete"} for i in ids
+            )
+        assert post("/api/plan/update", json.dumps(updates).encode()) == "OK"
+        plan2 = {p["image_id"]: p for p in get_json("/api/plan")}
+        n_keep = sum(1 for p in plan2.values() if p["action"] == "KEEP")
+        assert n_keep == len(by_group), "auto-select must keep exactly one per group"
+
+        # 5. applyPlan -> quarantine holds exactly the DELETE rows
+        job = wait_job(post("/api/apply")["jobId"])
+        assert job["status"] == "completed", job
+        import ray.data as rdata
+
+        q = rdata.read_parquet(state.run_dir + "/apply_quarantine").to_pandas()
+        want_deleted = {i for i, p in plan2.items() if p["action"] == "DELETE"}
+        assert set(q["image_id"]) == want_deleted
+    finally:
+        httpd.shutdown()
