@@ -458,3 +458,31 @@ def test_loose_file_directory_source(ray_session, tmp_path):
     hashes = read_stage(run_a, "hashes").to_pandas().set_index("image_id")
     assert hashes.loc["notes.txt", "status"] == "skip:fmt"
     assert hashes.loc["broken.png", "status"] == "skip:decode"
+
+
+def test_unfused_hash_stage_matches_fused(ray_session, small_images_table):
+    """The fused read+decode+hash (bytes never enter the object store)
+    is provably an OPTIMIZATION, not a correctness dependency: the plain
+    read_parquet -> map_batches path — the one a multi-node deployment
+    without task-local storage access would run — produces the identical
+    hash table (DESIGN.md 'multi-node story')."""
+    from idf.config import DedupConfig
+    from idf.stages.hash_stage import fused_hash_stage, hash_stage, read_images
+
+    cfg = DedupConfig()
+    cols = ["image_id", "bytes", "fmt", "caption"]
+    fused = (
+        fused_hash_stage(small_images_table, cfg)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    unfused = (
+        hash_stage(read_images(small_images_table, columns=cols), cfg)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fused, unfused[fused.columns])
