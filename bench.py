@@ -10,6 +10,16 @@ corpus prep and is NOT timed (cached under /tmp/idf_cache).
 ``--scaling`` reruns the plain bench in fresh subprocesses at 8 and 32
 CPUs on the same input and reports both throughputs + scaling
 efficiency (the sandbox adaptation of the north rule's N vs 4N nodes).
+
+``--family`` benches the doc/embedding query family at TWO widths
+(8 and 32 CPUs) with >=2 fresh-process reps per width (r3 verdict #6 —
+single-shot single-width timings nearly hid a 2.3x regression).
+
+``--mix`` runs the image pipeline on both real-JPEG corpus mixes
+(default ~2% and heavy ~20% real JFIF rows; r3 verdict #8).
+
+Env knobs: GRAFT_BENCH_ONLY=docs skips the image pipeline;
+GRAFT_JFIF_P=1.0 selects the heavy-JFIF corpus (separate cache key).
 """
 
 from __future__ import annotations
@@ -50,26 +60,30 @@ def run_bench() -> dict:
     from idf.synth import ensure_images_cache, sf_from_dir
 
     sf = sf_from_dir(sf_dir)
-    images = ensure_images_cache(sf_dir)  # untimed corpus prep (cached)
-    # warm the OS page cache with one full untimed pass over the bytes
-    # column so the timed runs measure compute + shuffle, not first-read
-    # disk throughput (guide: measure the two parallelism levels fairly)
-    import pyarrow as pa
-
-    n_images = (
-        rd.read_parquet(images, columns=["image_id", "bytes"])
-        .map_batches(lambda t: pa.table({"n": [len(t)]}), batch_format="pyarrow")
-        .sum("n")
-    )
+    jfif_p = float(os.environ.get("GRAFT_JFIF_P", "0.12"))
+    docs_only = os.environ.get("GRAFT_BENCH_ONLY", "") == "docs"
 
     queries: dict[str, float] = {}
+    n_images, pipeline_sec = 0, 0.0
+    if not docs_only:
+        images = ensure_images_cache(sf_dir, jfif_p=jfif_p)  # untimed corpus prep (cached)
+        # warm the OS page cache with one full untimed pass over the bytes
+        # column so the timed runs measure compute + shuffle, not first-read
+        # disk throughput (guide: measure the two parallelism levels fairly)
+        import pyarrow as pa
 
-    run_dir = f"/tmp/idf_bench/run_sf{sf}_cpus{num_cpus}"
-    shutil.rmtree(run_dir, ignore_errors=True)
-    t0 = time.time()
-    run_dedup(images, run_dir, DedupConfig(), resume=False, do_apply=False)
-    pipeline_sec = time.time() - t0
-    queries["img_dedup_pipeline"] = round(pipeline_sec, 3)
+        n_images = (
+            rd.read_parquet(images, columns=["image_id", "bytes"])
+            .map_batches(lambda t: pa.table({"n": [len(t)]}), batch_format="pyarrow")
+            .sum("n")
+        )
+
+        run_dir = f"/tmp/idf_bench/run_sf{sf}_cpus{num_cpus}"
+        shutil.rmtree(run_dir, ignore_errors=True)
+        t0 = time.time()
+        run_dedup(images, run_dir, DedupConfig(), resume=False, do_apply=False)
+        pipeline_sec = time.time() - t0
+        queries["img_dedup_pipeline"] = round(pipeline_sec, 3)
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     t0 = time.time()
@@ -97,6 +111,12 @@ def run_bench() -> dict:
     cosine_topk(emb, list(range(64)), k=10).count()
     queries["emb_cosine_topk"] = round(time.time() - t0, 3)
 
+    from idf.functions.ann import lsh_pairs
+
+    t0 = time.time()
+    lsh_pairs(emb, tau=0.4, n_bits=8, n_tables=4).count()
+    queries["emb_lsh_pairs"] = round(time.time() - t0, 3)
+
     from idf.functions.relational import events_asof_orders, sessionize
 
     ev = rd.read_parquet(
@@ -122,14 +142,16 @@ def run_bench() -> dict:
         "sf": sf,
         "num_cpus": num_cpus,
         "n_images": n_images,
-        "images_per_sec": round(n_images / pipeline_sec, 2),
+        "images_per_sec": round(n_images / pipeline_sec, 2) if pipeline_sec else 0.0,
     }
+    if jfif_p != 0.12:
+        result["jfif_p"] = jfif_p
     ray.shutdown()
     return result
 
 
-def _run_child(n_cpus: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(n_cpus))
+def _run_child(n_cpus: int, **extra_env: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(n_cpus), **extra_env)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -186,8 +208,69 @@ def run_scaling() -> dict:
     }
 
 
+def run_family() -> dict:
+    """Doc/embedding family at two widths, >=2 fresh-process reps each
+    (r3 verdict #6): per-query wall at 8 and 32 CPUs with per-rep
+    spreads, so a one-off regression can't hide as noise."""
+    widths = [int(w) for w in os.environ.get("GRAFT_FAMILY_CPUS", "8,32").split(",")]
+    reps = int(os.environ.get("GRAFT_FAMILY_REPS", "2"))
+    runs: dict[int, list[dict]] = {w: [] for w in widths}
+    for _ in range(reps):
+        for w in widths:  # interleaved like --scaling (noisy-neighbor protocol)
+            runs[w].append(_run_child(w, GRAFT_BENCH_ONLY="docs"))
+    qnames = sorted(runs[widths[0]][0]["queries"])
+    per_query = {
+        q: {
+            str(w): {
+                "reps_sec": [r["queries"][q] for r in rs],
+                "best_sec": min(r["queries"][q] for r in rs),
+                "spread": round(
+                    (max(r["queries"][q] for r in rs) - min(r["queries"][q] for r in rs))
+                    / max(min(r["queries"][q] for r in rs), 1e-9),
+                    3,
+                ),
+            }
+            for w, rs in runs.items()
+        }
+        for q in qnames
+    }
+    return {
+        "metric": "doc_emb_family_two_width",
+        "unit": "sec",
+        "widths": widths,
+        "reps": reps,
+        "queries": per_query,
+        "sf": runs[widths[0]][0]["sf"],
+    }
+
+
+def run_mix() -> dict:
+    """Image pipeline on both corpus mixes (~2% vs ~20% real JFIF rows;
+    r3 verdict #8). Same width, fresh process per mix."""
+    n = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("GRAFT_MIX_REPS", "1"))
+    out: dict[str, list[dict]] = {"default": [], "heavy": []}
+    for _ in range(reps):
+        out["default"].append(_run_child(n))
+        out["heavy"].append(_run_child(n, GRAFT_JFIF_P="1.0"))
+    best = {k: max(rs, key=lambda d: d["images_per_sec"]) for k, rs in out.items()}
+    return {
+        "metric": "img_pipeline_corpus_mix",
+        "unit": "sec",
+        "num_cpus": n,
+        "default_mix": {k: best["default"][k] for k in ("value", "n_images", "images_per_sec")},
+        "heavy_mix": {k: best["heavy"][k] for k in ("value", "n_images", "images_per_sec")},
+        "all_sec": {k: [d["value"] for d in rs] for k, rs in out.items()},
+        "sf": best["default"]["sf"],
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--family" in sys.argv:
+        print(json.dumps(run_family()))
+    elif "--mix" in sys.argv:
+        print(json.dumps(run_mix()))
     else:
         print(json.dumps(run_bench()))

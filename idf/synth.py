@@ -151,8 +151,13 @@ def _row(image_id: str, data: bytes, fmt: str, caption: str) -> dict:
     }
 
 
-def generate_family(family_idx: int, seed: int = 42) -> list[dict]:
-    """All rows of one duplicate family. Pure + deterministic per (idx, seed)."""
+def generate_family(family_idx: int, seed: int = 42, jfif_p: float = 0.12) -> list[dict]:
+    """All rows of one duplicate family. Pure + deterministic per
+    (idx, seed, jfif_p). ``jfif_p`` is the chance a non-singleton family
+    adds a REAL baseline-JFIF row — 0.12 default (~2% of rows; the r3
+    corpus-v5 mix), 1.0 for the heavy ~20%-real-JPEG bench mix (r3
+    verdict #8). The rng stream is identical across jfif_p values, so
+    every other row is byte-identical between mixes."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, family_idx]))
     fid = f"img-{family_idx:05d}"
     kind = rng.uniform()
@@ -210,21 +215,29 @@ def generate_family(family_idx: int, seed: int = 42) -> list[dict]:
             rows.append(
                 _row(f"{fid}-rot", encode(np.ascontiguousarray(np.rot90(base)), "png"), "png", vcap)
             )
-    if rng.uniform() < 0.12:
+    if rng.uniform() < jfif_p:
         # REAL baseline-JFIF re-encode (idf/codecs/jfif.py) — ~1.5% of
-        # rows, sized so the pure-Python entropy decode (the honest cost
-        # of real JPEG with no native codec) stays a bounded slice of
-        # the bench pipeline while keeping the format first-class at
-        # every scale, not just in unit tests.
+        # rows at the default p, sized so the pure-Python entropy decode
+        # (the honest cost of real JPEG with no native codec) stays a
+        # bounded slice of the bench pipeline while keeping the format
+        # first-class at every scale, not just in unit tests.
         vcap = _perturb_caption(cap, rng) if rng.uniform() < 0.5 else cap
         rows.append(_row(f"{fid}-jfif", encode(base, "jfif", quality=88), "jpg", vcap))
+        if jfif_p >= 1.0 and rng.uniform() < 0.75:
+            # heavy mix only: a second real-JFIF variant (downscaled
+            # re-encode) lifts the real-JPEG row share to ~20% (r3
+            # verdict #8); guarded so the default rng stream and corpus
+            # bytes are untouched
+            rows.append(
+                _row(f"{fid}-jfif2", encode(_downscale(base), "jfif", quality=80), "jpg", cap)
+            )
     return rows
 
 
-def generate_images_table(n_families: int, seed: int = 42) -> pa.Table:
+def generate_images_table(n_families: int, seed: int = 42, jfif_p: float = 0.12) -> pa.Table:
     rows: list[dict] = []
     for i in range(n_families):
-        rows.extend(generate_family(i, seed))
+        rows.extend(generate_family(i, seed, jfif_p))
     return pa.Table.from_pylist(rows, schema=SCHEMA)
 
 
@@ -256,7 +269,9 @@ def sf_from_dir(sf_dir: str) -> float:
 CACHE_TAG = "v5"
 
 
-def ensure_images_cache(sf_dir: str, seed: int = 42, cache_root: str = "/tmp/idf_cache") -> str:
+def ensure_images_cache(
+    sf_dir: str, seed: int = 42, cache_root: str = "/tmp/idf_cache", jfif_p: float = 0.12
+) -> str:
     """Deterministically generate (once) the images table for an sf dir.
 
     Generation itself runs as a Ray Data pipeline (one task per family
@@ -265,7 +280,10 @@ def ensure_images_cache(sf_dir: str, seed: int = 42, cache_root: str = "/tmp/idf
     marker-committed).
     """
     sf = sf_from_dir(sf_dir)
-    out = os.path.join(cache_root, f"images_{CACHE_TAG}_sf{sf}")
+    # non-default mixes get their own cache key; the default path stays
+    # byte-identical to the r3 corpus-v5 cache
+    mix = "" if jfif_p == 0.12 else f"_jfif{int(round(jfif_p * 100))}"
+    out = os.path.join(cache_root, f"images_{CACHE_TAG}_sf{sf}{mix}")
     marker = out + ".done"
     if os.path.exists(marker):
         return out
@@ -273,14 +291,16 @@ def ensure_images_cache(sf_dir: str, seed: int = 42, cache_root: str = "/tmp/idf
     n_fam = families_for_sf(sf)
     if n_fam <= 64:  # small: generate inline, single file
         os.makedirs(out, exist_ok=True)
-        write_images_table(generate_images_table(n_fam, seed), os.path.join(out, "part-0.parquet"))
+        write_images_table(
+            generate_images_table(n_fam, seed, jfif_p), os.path.join(out, "part-0.parquet")
+        )
     else:
         import ray.data as rd
 
         def gen_batch(batch: dict) -> pa.Table:
             rows: list[dict] = []
             for fam in batch["id"].tolist():
-                rows.extend(generate_family(int(fam), seed))
+                rows.extend(generate_family(int(fam), seed, jfif_p))
             return pa.Table.from_pylist(rows, schema=SCHEMA)
 
         tmp = out + ".tmp"
