@@ -28,6 +28,7 @@ same scheme as fjpg.decode_fjpg_luma_scaled).
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -43,6 +44,19 @@ ZIGZAG = np.array(
 )
 
 
+_ZZ_OF_NAT = np.empty(64, dtype=np.int64)  # natural index -> zigzag index
+_ZZ_OF_NAT[ZIGZAG] = np.arange(64)
+
+
+def _corner_zz_max(k: int) -> int:
+    """Highest zigzag index the k x k low-frequency corner touches —
+    coefficients beyond it cannot affect a k/8 partial iDCT
+    (``_idct_blocks`` reads only ``blocks[:, :k, :k]``)."""
+    if k >= 8:
+        return 63
+    return max(int(_ZZ_OF_NAT[i * 8 + j]) for i in range(k) for j in range(k))
+
+
 class JfifError(ValueError):
     pass
 
@@ -52,7 +66,14 @@ class JfifError(ValueError):
 
 
 class HuffTable:
-    __slots__ = ("_codes", "lut16_sym", "lut16_len")
+    __slots__ = (
+        "_codes",
+        "lut16_sym",
+        "lut16_len",
+        "lut16_skip_dc",
+        "lut16_skip_ac",
+        "lut16_skip_ac2",
+    )
 
     def __init__(self, counts: list[int], values: bytes):
         # canonical codes: lengths 1..16 with counts[l-1] codes each
@@ -68,6 +89,9 @@ class HuffTable:
         self._codes = codes_by_len
         self.lut16_sym = None
         self.lut16_len = None
+        self.lut16_skip_dc = None
+        self.lut16_skip_ac = None
+        self.lut16_skip_ac2 = None
 
     def ensure_lut16(self) -> None:
         """Full 16-bit peek LUT as plain Python lists (scalar list
@@ -85,6 +109,85 @@ class HuffTable:
             ln[lo:hi] = length
         self.lut16_sym = sym.tolist()
         self.lut16_len = ln.tolist()
+
+    def ensure_skiplut_dc(self) -> None:
+        """Packed skip LUT for a DC table used on a component whose
+        values the caller does not need (luma-only decode): one peek
+        resolves code length PLUS the magnitude-bit count, so the
+        entropy loop advances the bitstream in a single subtraction
+        with no extend arithmetic, predictor update, or numpy store."""
+        if self.lut16_skip_dc is not None:
+            return
+        self.ensure_lut16()
+        out = np.zeros(65536, dtype=np.int32)
+        for length, c, s in self._codes:
+            lo = c << (16 - length)
+            out[lo : lo + (1 << (16 - length))] = length + s
+        self.lut16_skip_dc = out.tolist()
+
+    def ensure_skiplut_ac(self) -> None:
+        """Packed skip LUT for an AC table: ``(flags|adv)<<6 | bits``
+        where ``bits`` = code length + magnitude-bit count (total bits
+        to consume), ``adv`` = run+1 (coefficient) or 16 (ZRL), flag
+        bit 12 (0x1000) = end-of-block, flag bit 13 (0x2000) = ZRL
+        (advance past 63 is legal, matching the value loop). 0 marks
+        an invalid code."""
+        if self.lut16_skip_ac is not None:
+            return
+        self.ensure_lut16()
+        out = np.zeros(65536, dtype=np.int32)
+        for length, c, rs in self._codes:
+            s = rs & 15
+            if s:
+                packed = ((rs >> 4) + 1 << 6) | (length + s)
+            elif rs == 0xF0:  # ZRL
+                packed = 0x2000 | (16 << 6) | length
+            else:  # any other s==0 symbol ends the block (matches value loop)
+                packed = 0x1000 | length
+            lo = c << (16 - length)
+            out[lo : lo + (1 << (16 - length))] = packed
+        self.lut16_skip_ac = out.tolist()
+
+    def ensure_skiplut_ac2(self) -> None:
+        """Two-symbol packed AC skip LUT: when the SECOND symbol's
+        Huffman code also fits entirely inside the same 16-bit peek
+        window (codes are prefix-free, so padding bits past the window
+        cannot change it), one lookup yields the combined advance.
+        Entry: ``eob<<15 | adv<<7 | bits`` where ``bits`` covers both
+        codes plus both magnitude-bit counts (<= 31 by construction:
+        code2 must end within the window), ``adv`` is the combined
+        coefficient advance, and ``eob`` marks a pair ending in EOB.
+        0 = no valid pack; caller falls back to the single-symbol LUT.
+        The caller must only take a pair when ``k + adv < 64`` — that
+        guarantees no intermediate index check is skipped and the
+        block cannot end between the two symbols."""
+        if self.lut16_skip_ac2 is not None:
+            return
+        ln1 = np.zeros(65536, dtype=np.int64)
+        rs1 = np.zeros(65536, dtype=np.int64)
+        for length, c, rs in self._codes:
+            lo = c << (16 - length)
+            hi = lo + (1 << (16 - length))
+            ln1[lo:hi] = length
+            rs1[lo:hi] = rs
+        s1 = rs1 & 15
+        value1 = s1 > 0
+        zrl1 = (~value1) & (rs1 == 0xF0)
+        eob1 = (ln1 > 0) & (~value1) & (~zrl1)
+        consumed1 = ln1 + np.where(value1, s1, 0)
+        adv1 = np.where(value1, (rs1 >> 4) + 1, np.where(zrl1, 16, 0))
+        look2 = (np.arange(65536, dtype=np.int64) << np.minimum(consumed1, 16)) & 0xFFFF
+        ln2 = ln1[look2]
+        rs2 = rs1[look2]
+        s2 = rs2 & 15
+        value2 = s2 > 0
+        zrl2 = (~value2) & (rs2 == 0xF0)
+        eob2 = (ln2 > 0) & (~value2) & (~zrl2)
+        pairable = (ln1 > 0) & (~eob1) & (consumed1 < 16) & (ln2 > 0) & (ln2 <= 16 - consumed1)
+        bits = consumed1 + ln2 + np.where(value2, s2, 0)
+        adv = adv1 + np.where(value2, (rs2 >> 4) + 1, np.where(zrl2, 16, 0))
+        packed = (eob2.astype(np.int64) << 15) | (adv << 7) | bits
+        self.lut16_skip_ac2 = np.where(pairable, packed, 0).tolist()
 
 
 # one decoder-wide table cache: JPEGs overwhelmingly share the handful
@@ -261,24 +364,28 @@ def _parse(data) -> dict:
                 sel.append((cs, tdta >> 4, tdta & 15))
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
-            # entropy data follows until next marker (skipping RSTn/stuffed)
+            # entropy data follows until next marker (skipping RSTn/
+            # stuffed bytes); jump 0xFF-to-0xFF with bytes.find — the
+            # old per-byte Python walk was ~20% of small-image decode
             j = i + 2 + ln
-            start = j
             segments = []
             seg_start = j
-            while j < n - 1:
-                if data[j] == 0xFF:
-                    m2 = data[j + 1]
-                    if m2 == 0x00:
-                        j += 2
-                        continue
-                    if 0xD0 <= m2 <= 0xD7:  # restart marker: split segment
-                        segments.append(data[seg_start:j])
-                        j += 2
-                        seg_start = j
-                        continue
-                    break  # real marker ends the scan
-                j += 1
+            while True:
+                f = data.find(b"\xff", j, n - 1)
+                if f < 0:
+                    j = n - 1
+                    break
+                m2 = data[f + 1]
+                if m2 == 0x00:  # stuffed byte
+                    j = f + 2
+                    continue
+                if 0xD0 <= m2 <= 0xD7:  # restart marker: split segment
+                    segments.append(data[seg_start:f])
+                    j = f + 2
+                    seg_start = j
+                    continue
+                j = f
+                break  # real marker ends the scan
             segments.append(data[seg_start:j])
             scans.append(
                 {
@@ -320,11 +427,20 @@ def _alloc_coefs(frame, comps) -> None:
     frame["mcus_y"] = mcus_y
 
 
-def _decode_baseline_scan(frame, comps, scan) -> None:
+def _decode_baseline_scan(frame, comps, scan, luma_zz=None) -> None:
     """Baseline (and single-scan sequential) entropy decode, specialized:
     cached 16-bit Huffman LUTs (one peek per symbol, Python-list indexed)
     and a fully inlined local-variable bit reader — ~3x the generic
-    method-dispatch path, which remains for progressive scans."""
+    method-dispatch path, which remains for progressive scans.
+
+    ``luma_zz`` is the skip-mode contract for luma-only callers: when
+    set, only ``comps[0]`` coefficients with zigzag index <= luma_zz
+    are materialized. Other components (and coefficients past the
+    bound) still advance the bitstream — Huffman decode is sequential
+    — but through packed skip LUTs (code length + magnitude bits in
+    ONE table read), with no numpy row fetch, extend arithmetic, or
+    store. That removes the dominant per-coefficient cost for hashing
+    decodes, which typically need the DC-only 1/8 scale."""
     by_id = {c.cid: c for c in comps}
     sel = []
     for cs, td, ta in scan["sel"]:
@@ -332,33 +448,84 @@ def _decode_baseline_scan(frame, comps, scan) -> None:
         dc, ac = scan["dc"][td], scan["ac"][ta]
         dc.ensure_lut16()
         ac.ensure_lut16()
-        sel.append((comp, dc.lut16_sym, dc.lut16_len, ac.lut16_sym, ac.lut16_len))
+        if luma_zz is None:
+            bound = 63
+        elif comp is comps[0]:
+            bound = luma_zz
+        else:
+            bound = -1
+        if bound < 63:
+            dc.ensure_skiplut_dc()
+            ac.ensure_skiplut_ac()
+            ac.ensure_skiplut_ac2()
+        sel.append(
+            (
+                comp,
+                dc.lut16_sym,
+                dc.lut16_len,
+                ac.lut16_sym,
+                ac.lut16_len,
+                bound,
+                dc.lut16_skip_dc,
+                ac.lut16_skip_ac,
+                ac.lut16_skip_ac2,
+            )
+        )
     segments = scan["segments"]
     ri = scan["ri"]
     interleaved = len(sel) > 1
+
+    # per-block unit tuples, shaped per branch so the hot loop unpacks
+    # only what it uses:
+    #   bound <  0: (-1, dcskip, acskip, acskip2)            pure skip
+    #   bound == 0: (0, dcs, dcl, acskip, acskip2, slot, dcvals)
+    #               DC value decoded, appended to dcvals (bulk-stored
+    #               at scan end — no per-block numpy row fetch/store),
+    #               AC pure-skipped; this is the k=1 hashing scale
+    #   bound >= 1: (bound, comp, dcs, dcl, acs, acl, acskip, acskip2,
+    #                slot, by, bx)                           value path
+    dc_bulk: dict[int, list] = {}
+
+    def _unit(entry, slot, by, bx):
+        comp, dcs, dcl, acs, acl, bound, dcskip, acskip, acskip2 = entry
+        if bound < 0:
+            return (-1, dcskip, acskip, acskip2)
+        if bound == 0:
+            lst = dc_bulk.setdefault(slot, [])
+            return (0, dcs, dcl, acskip, acskip2, slot, lst)
+        return (bound, comp, dcs, dcl, acs, acl, acskip, acskip2, slot, by, bx)
 
     if interleaved:
         mcus_x = frame["mcus_x"]
         total = mcus_x * frame["mcus_y"]
         per = ri if ri else total
-        # flatten each MCU's blocks: (coefs, dcs, dcl, acs, acl, slot, by, bx)
         units = []
-        for slot, (comp, dcs, dcl, acs, acl) in enumerate(sel):
+        for slot, entry in enumerate(sel):
+            comp = entry[0]
             for by in range(comp.v):
                 for bx in range(comp.h):
-                    units.append((comp, dcs, dcl, acs, acl, slot, by, bx))
+                    units.append(_unit(entry, slot, by, bx))
+        blocks_static = units
+        need_pos = any(u[0] >= 1 for u in units)
+        bw = 0
     else:
         comp = sel[0][0]
         bw = -(-comp.w // 8)
         total = bw * (-(-comp.hgt // 8))
         per = ri if ri else total
-        units = None
+        if sel[0][5] <= 0:  # bound: position-free branches
+            blocks_static = (_unit(sel[0], 0, 0, 0),)
+        else:
+            blocks_static = None
+        need_pos = False
 
     done = 0
     seg_idx = 0
     while done < total:
-        data = segments[seg_idx] if seg_idx < len(segments) else b""
-        n = len(data)
+        # pad with fill bytes (T.81 F.2.2.5) so the hot loops fetch
+        # unconditionally; a truncated stream runs off the pad into an
+        # IndexError, converted to JfifError by _decode_parsed
+        data = (segments[seg_idx] if seg_idx < len(segments) else b"") + b"\xff" * 8
         pos = 0
         acc = 0
         nbits = 0
@@ -366,23 +533,148 @@ def _decode_baseline_scan(frame, comps, scan) -> None:
         end = min(done + per, total)
         mcu = done
         while mcu < end:
-            if interleaved:
-                my, mx = divmod(mcu, mcus_x)
-                blocks = units
+            if blocks_static is not None:
+                blocks = blocks_static
+                if need_pos:
+                    my, mx = divmod(mcu, mcus_x)
             else:
                 by0, bx0 = divmod(mcu, bw)
-                blocks = ((sel[0][0], sel[0][1], sel[0][2], sel[0][3], sel[0][4], 0, by0, bx0),)
-            for comp, dcs, dcl, acs, acl, slot, by, bx in blocks:
+                blocks = (_unit(sel[0], 0, by0, bx0),)
+            for u in blocks:
+                bound = u[0]
+                if bound < 0:
+                    dcskip = u[1]
+                    acskip = u[2]
+                    acskip2 = u[3]
+                    # ---- values unused: pure bitstream advance.
+                    # DC: one packed read = code length + magnitude bits.
+                    if nbits < 16:
+                        acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFFFF
+                        pos += 2
+                        nbits += 16
+                    sk = dcskip[(acc >> (nbits - 16)) & 0xFFFF]
+                    if not sk:
+                        raise JfifError("bad Huffman code (DC)")
+                    while nbits < sk:
+                        acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFFFFFF
+                        pos += 2
+                        nbits += 16
+                    nbits -= sk
+                    # AC: try the two-symbol packed LUT first (one peek
+                    # consumes two codes + both magnitude runs when the
+                    # second code fits the window), else the single
+                    # packed (flags|adv)<<6 | bits entry
+                    k = 1
+                    while k < 64:
+                        if nbits < 16:
+                            acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFFFF
+                            pos += 2
+                            nbits += 16
+                        look = (acc >> (nbits - 16)) & 0xFFFF
+                        p = acskip2[look]
+                        if p and k + ((p >> 7) & 255) < 64:
+                            sk = p & 127
+                            while nbits < sk:
+                                acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFFFFFF
+                                pos += 2
+                                nbits += 16
+                            nbits -= sk
+                            if p & 0x8000:
+                                break  # pair ends in EOB
+                            k += (p >> 7) & 255
+                            continue
+                        p = acskip[look]
+                        if not p:
+                            raise JfifError("bad Huffman code (AC)")
+                        sk = p & 63
+                        while nbits < sk:
+                            acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFFFFFF
+                            pos += 2
+                            nbits += 16
+                        nbits -= sk
+                        if p & 0x1000:
+                            break  # EOB
+                        k += (p >> 6) & 63
+                        if k > 64 and not (p & 0x2000):
+                            raise JfifError("AC index out of range")
+                    continue
+                if bound == 0:
+                    # ---- DC-only block (k=1 hashing scale): decode the
+                    # DC value into a Python list (bulk numpy store at
+                    # scan end), pure-skip every AC symbol
+                    dcs = u[1]
+                    dcl = u[2]
+                    acskip = u[3]
+                    acskip2 = u[4]
+                    slot = u[5]
+                    if nbits < 16:
+                        acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                        pos += 2
+                        nbits += 16
+                    look = (acc >> (nbits - 16)) & 0xFFFF
+                    ln = dcl[look]
+                    if not ln:
+                        raise JfifError("bad Huffman code (DC)")
+                    nbits -= ln
+                    s = dcs[look]
+                    if s:
+                        while nbits < s:
+                            acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                            pos += 2
+                            nbits += 16
+                        nbits -= s
+                        v = (acc >> nbits) & ((1 << s) - 1)
+                        if v < 1 << (s - 1):
+                            v += 1 - (1 << s)
+                        preds[slot] += v
+                    u[6].append(preds[slot])
+                    k = 1
+                    while k < 64:
+                        if nbits < 16:
+                            acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFFFF
+                            pos += 2
+                            nbits += 16
+                        look = (acc >> (nbits - 16)) & 0xFFFF
+                        p = acskip2[look]
+                        if p:
+                            adv = (p >> 7) & 255
+                            if k + adv < 64:
+                                sk = p & 127
+                                while nbits < sk:
+                                    acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFFFFFF
+                                    pos += 2
+                                    nbits += 16
+                                nbits -= sk
+                                if p & 0x8000:
+                                    break
+                                k += adv
+                                continue
+                        p = acskip[look]
+                        if not p:
+                            raise JfifError("bad Huffman code (AC)")
+                        sk = p & 63
+                        while nbits < sk:
+                            acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFFFFFF
+                            pos += 2
+                            nbits += 16
+                        nbits -= sk
+                        if p & 0x1000:
+                            break
+                        k += (p >> 6) & 63
+                        if k > 64 and not (p & 0x2000):
+                            raise JfifError("AC index out of range")
+                    continue
+                bound, comp, dcs, dcl, acs, acl, acskip, acskip2, slot, by, bx = u
                 if interleaved:
                     bi = (my * comp.v + by) * comp.bw + (mx * comp.h + bx)
                 else:
                     bi = by * comp.bw + bx
                 row = comp.coefs[bi]
                 # ---- DC
-                while nbits < 16:
-                    acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
-                    pos += 1
-                    nbits += 8
+                if nbits < 16:
+                    acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                    pos += 2
+                    nbits += 16
                 look = (acc >> (nbits - 16)) & 0xFFFF
                 ln = dcl[look]
                 if not ln:
@@ -391,9 +683,9 @@ def _decode_baseline_scan(frame, comps, scan) -> None:
                 s = dcs[look]
                 if s:
                     while nbits < s:
-                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
-                        pos += 1
-                        nbits += 8
+                        acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                        pos += 2
+                        nbits += 16
                     nbits -= s
                     v = (acc >> nbits) & ((1 << s) - 1)
                     if v < 1 << (s - 1):
@@ -402,37 +694,126 @@ def _decode_baseline_scan(frame, comps, scan) -> None:
                 row[0] = preds[slot]
                 # ---- AC
                 k = 1
-                while k < 64:
-                    while nbits < 16:
-                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
-                        pos += 1
-                        nbits += 8
-                    look = (acc >> (nbits - 16)) & 0xFFFF
-                    ln = acl[look]
-                    if not ln:
-                        raise JfifError("bad Huffman code (AC)")
-                    nbits -= ln
-                    rs = acs[look]
-                    s = rs & 15
-                    if not s:
-                        if rs != 0xF0:
-                            break  # EOB
-                        k += 16  # ZRL
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise JfifError("AC index out of range")
-                    while nbits < s:
-                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
-                        pos += 1
-                        nbits += 8
-                    nbits -= s
-                    v = (acc >> nbits) & ((1 << s) - 1)
-                    row[k] = v + 1 - (1 << s) if v < 1 << (s - 1) else v
-                    k += 1
+                if bound >= 63:
+                    while k < 64:
+                        if nbits < 16:
+                            acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                            pos += 2
+                            nbits += 16
+                        look = (acc >> (nbits - 16)) & 0xFFFF
+                        ln = acl[look]
+                        if not ln:
+                            raise JfifError("bad Huffman code (AC)")
+                        nbits -= ln
+                        rs = acs[look]
+                        s = rs & 15
+                        if not s:
+                            if rs != 0xF0:
+                                break  # EOB
+                            k += 16  # ZRL
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            raise JfifError("AC index out of range")
+                        while nbits < s:
+                            acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                            pos += 2
+                            nbits += 16
+                        nbits -= s
+                        v = (acc >> nbits) & ((1 << s) - 1)
+                        row[k] = v + 1 - (1 << s) if v < 1 << (s - 1) else v
+                        k += 1
+                else:
+                    # bounded store: full decode while coefficients can
+                    # still land inside the needed corner, then pure
+                    # skip for the rest of the block
+                    while k < 64:
+                        if k > bound:
+                            while k < 64:
+                                if nbits < 16:
+                                    acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFFFF
+                                    pos += 2
+                                    nbits += 16
+                                look = (acc >> (nbits - 16)) & 0xFFFF
+                                p = acskip2[look]
+                                if p and k + ((p >> 7) & 255) < 64:
+                                    sk = p & 127
+                                    while nbits < sk:
+                                        acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFFFFFF
+                                        pos += 2
+                                        nbits += 16
+                                    nbits -= sk
+                                    if p & 0x8000:
+                                        break
+                                    k += (p >> 7) & 255
+                                    continue
+                                p = acskip[look]
+                                if not p:
+                                    raise JfifError("bad Huffman code (AC)")
+                                sk = p & 63
+                                while nbits < sk:
+                                    acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFFFFFF
+                                    pos += 2
+                                    nbits += 16
+                                nbits -= sk
+                                if p & 0x1000:
+                                    break
+                                k += (p >> 6) & 63
+                                if k > 64 and not (p & 0x2000):
+                                    raise JfifError("AC index out of range")
+                            break
+                        if nbits < 16:
+                            acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                            pos += 2
+                            nbits += 16
+                        look = (acc >> (nbits - 16)) & 0xFFFF
+                        ln = acl[look]
+                        if not ln:
+                            raise JfifError("bad Huffman code (AC)")
+                        nbits -= ln
+                        rs = acs[look]
+                        s = rs & 15
+                        if not s:
+                            if rs != 0xF0:
+                                break  # EOB
+                            k += 16  # ZRL
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            raise JfifError("AC index out of range")
+                        while nbits < s:
+                            acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                            pos += 2
+                            nbits += 16
+                        nbits -= s
+                        v = (acc >> nbits) & ((1 << s) - 1)
+                        if k <= bound:
+                            row[k] = v + 1 - (1 << s) if v < 1 << (s - 1) else v
+                        k += 1
             mcu += 1
         done = end
         seg_idx += 1
+
+    # bulk DC store for bound==0 slots: values were appended in visit
+    # order (mcu-major, then the slot's by/bx blocks), which maps to
+    # these block indices
+    for slot, lst in dc_bulk.items():
+        comp = sel[slot][0]
+        vals = np.asarray(lst, dtype=np.int32)
+        if interleaved:
+            m = np.arange(total, dtype=np.int64)
+            my = m // mcus_x
+            mx = m - my * mcus_x
+            parts = [
+                (my * comp.v + by) * comp.bw + (mx * comp.h + bx)
+                for by in range(comp.v)
+                for bx in range(comp.h)
+            ]
+            bi = np.stack(parts, axis=1).ravel()
+        else:
+            t = np.arange(total, dtype=np.int64)
+            bi = (t // bw) * comp.bw + (t % bw)
+        comp.coefs[bi, 0] = vals
 
 
 def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
@@ -457,8 +838,10 @@ def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
     done = 0
     seg_idx = 0
     while done < total:
-        data = segments[seg_idx] if seg_idx < len(segments) else b""
-        n = len(data)
+        # pad with fill bytes (T.81 F.2.2.5) so the hot loops fetch
+        # unconditionally; a truncated stream runs off the pad into an
+        # IndexError, converted to JfifError by _decode_parsed
+        data = (segments[seg_idx] if seg_idx < len(segments) else b"") + b"\xff" * 8
         pos = 0
         acc = 0
         nbits = 0
@@ -475,10 +858,10 @@ def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
                 row = coefs[by * comp.bw + bx]
                 k = ss
                 while k <= se:
-                    while nbits < 16:
-                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
-                        pos += 1
-                        nbits += 8
+                    if nbits < 16:
+                        acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                        pos += 2
+                        nbits += 16
                     look = (acc >> (nbits - 16)) & 0xFFFF
                     ln = acl[look]
                     if not ln:
@@ -491,11 +874,9 @@ def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
                         if r != 15:
                             if r:
                                 while nbits < r:
-                                    acc = (
-                                        (acc << 8) | (data[pos] if pos < n else 0xFF)
-                                    ) & 0xFFFFFFFF
-                                    pos += 1
-                                    nbits += 8
+                                    acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                                    pos += 2
+                                    nbits += 16
                                 nbits -= r
                                 eobrun = (1 << r) + ((acc >> nbits) & ((1 << r) - 1)) - 1
                             else:
@@ -507,9 +888,9 @@ def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
                     if k > se:
                         raise JfifError("AC index out of range (progressive first)")
                     while nbits < s:
-                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
-                        pos += 1
-                        nbits += 8
+                        acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                        pos += 2
+                        nbits += 16
                     nbits -= s
                     v = (acc >> nbits) & ((1 << s) - 1)
                     if v < 1 << (s - 1):
@@ -526,10 +907,10 @@ def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
             j = 0
             if eobrun == 0:
                 while j < width:
-                    while nbits < 16:
-                        acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
-                        pos += 1
-                        nbits += 8
+                    if nbits < 16:
+                        acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                        pos += 2
+                        nbits += 16
                     look = (acc >> (nbits - 16)) & 0xFFFF
                     ln = acl[look]
                     if not ln:
@@ -543,11 +924,9 @@ def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
                         if r != 15:
                             if r:
                                 while nbits < r:
-                                    acc = (
-                                        (acc << 8) | (data[pos] if pos < n else 0xFF)
-                                    ) & 0xFFFFFFFF
-                                    pos += 1
-                                    nbits += 8
+                                    acc = ((acc << 16) | (data[pos] << 8) | data[pos + 1]) & 0xFFFFFFFF
+                                    pos += 2
+                                    nbits += 16
                                 nbits -= r
                                 eobrun = (1 << r) + ((acc >> nbits) & ((1 << r) - 1))
                             else:
@@ -555,7 +934,7 @@ def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
                             break
                     else:
                         if not nbits:
-                            acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
+                            acc = ((acc << 8) | data[pos]) & 0xFFFFFFFF
                             pos += 1
                             nbits += 8
                         nbits -= 1
@@ -564,9 +943,7 @@ def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
                         cv = band[j]
                         if cv:
                             if not nbits:
-                                acc = (
-                                    (acc << 8) | (data[pos] if pos < n else 0xFF)
-                                ) & 0xFFFFFFFF
+                                acc = ((acc << 8) | data[pos]) & 0xFFFFFFFF
                                 pos += 1
                                 nbits += 8
                             nbits -= 1
@@ -589,7 +966,7 @@ def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
                     cv = band[j]
                     if cv:
                         if not nbits:
-                            acc = ((acc << 8) | (data[pos] if pos < n else 0xFF)) & 0xFFFFFFFF
+                            acc = ((acc << 8) | data[pos]) & 0xFFFFFFFF
                             pos += 1
                             nbits += 8
                         nbits -= 1
@@ -605,12 +982,12 @@ def _decode_prog_ac_scan(comp, ac_tbl, ss, se, ah, al, segments, ri) -> None:
         seg_idx += 1
 
 
-def _decode_scan(frame, comps, scan) -> None:
+def _decode_scan(frame, comps, scan, luma_zz=None) -> None:
     by_id = {c.cid: c for c in comps}
     sel = [(by_id[cs], td, ta) for cs, td, ta in scan["sel"]]
     progressive = frame["progressive"]
     if not progressive:
-        _decode_baseline_scan(frame, comps, scan)
+        _decode_baseline_scan(frame, comps, scan, luma_zz)
         return
     ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
     if ss != 0:  # progressive AC scans are single-component by spec
@@ -690,6 +1067,7 @@ def _decode_scan(frame, comps, scan) -> None:
 # vectorized back end
 
 
+@functools.lru_cache(maxsize=None)
 def _dct_matrix(n: int = 8) -> np.ndarray:
     k = np.arange(n)[:, None]
     x = np.arange(n)[None, :]
@@ -704,13 +1082,19 @@ _DCT8 = _dct_matrix(8)
 def _idct_blocks(coefs: np.ndarray, qtab: np.ndarray, k: int = 8) -> np.ndarray:
     """(nblocks, 64) zigzag coefs + 64-entry zigzag qtab -> (nblocks, k, k)
     samples (k=8 full; k<8 partial iDCT = libjpeg-style 1/8..7/8 scale)."""
+    if k == 1:
+        # DC-only scale: the 1-point orthonormal iDCT is the identity,
+        # so the "plane" is just dequantized DC * 1/8 — no zigzag
+        # scatter or matmul needed (this is the common hashing scale)
+        dc = coefs[:, 0].astype(np.float64) * (float(qtab[0]) / 8.0)
+        return dc.reshape(-1, 1, 1) + 128.0
     dq = coefs.astype(np.float64) * qtab[None, :].astype(np.float64)
     blocks = np.zeros((len(coefs), 64), dtype=np.float64)
     blocks[:, ZIGZAG] = dq
     blocks = blocks.reshape(-1, 8, 8)
     if k == 8:
         m = _DCT8
-        out = np.einsum("ij,njk,lk->nil", m.T, blocks, m.T, optimize=True)
+        out = m.T @ blocks @ m
     else:
         # partial reconstruction: k-point orthonormal iDCT of the k x k
         # low-frequency corner = the block downscaled to k x k up to the
@@ -718,7 +1102,7 @@ def _idct_blocks(coefs: np.ndarray, qtab: np.ndarray, k: int = 8) -> np.ndarray:
         # fjpg.decode_fjpg_luma_scaled / libjpeg scale_num/8
         sub = blocks[:, :k, :k] * (k / 8.0)
         mk = _dct_matrix(k)
-        out = np.einsum("ij,njk,lk->nil", mk.T, sub, mk.T, optimize=True)
+        out = mk.T @ sub @ mk
     return out + 128.0
 
 
@@ -753,16 +1137,41 @@ def _upsample_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)[:h, :w]
 
 
-def _decode_all(data) -> tuple[dict, list[_Component]]:
-    parsed = _parse(data)
+def _scan_skippable(scan, comps, luma_zz) -> bool:
+    """A scan can be dropped WITHOUT touching its entropy data when no
+    selected component contributes to the luma-only output: the parser
+    already delimited every scan's segments by markers, so sequential
+    decode order is preserved. Covers chroma DC/AC scans (progressive
+    AND multi-scan sequential) and luma AC bands entirely above the
+    needed zigzag bound — for the DC-only 1/8 hashing scale that is
+    every AC scan of a progressive file."""
+    luma_cid = comps[0].cid
+    for cs, _td, _ta in scan["sel"]:
+        if cs == luma_cid and scan["ss"] <= luma_zz:
+            return False
+    return True
+
+
+def _decode_parsed(parsed, luma_zz=None) -> tuple[dict, list[_Component]]:
     frame, comps = parsed["frame"], parsed["comps"]
     if frame["precision"] != 8:
         raise JfifError("only 8-bit precision supported")
     _alloc_coefs(frame, comps)
-    for scan in parsed["scans"]:
-        _decode_scan(frame, comps, scan)
+    try:
+        for scan in parsed["scans"]:
+            if luma_zz is not None and _scan_skippable(scan, comps, luma_zz):
+                continue
+            _decode_scan(frame, comps, scan, luma_zz)
+    except IndexError:
+        # the entropy loops read past the 8-byte fill pad only when the
+        # stream is truncated mid-scan
+        raise JfifError("truncated entropy data") from None
     frame["qt"] = parsed["qt"]
     return frame, comps
+
+
+def _decode_all(data, luma_zz=None) -> tuple[dict, list[_Component]]:
+    return _decode_parsed(_parse(data), luma_zz)
 
 
 def decode_jfif(data) -> np.ndarray:
@@ -788,9 +1197,10 @@ def decode_jfif(data) -> np.ndarray:
 def decode_jfif_luma(data) -> np.ndarray:
     """Real JPEG bytes -> Y plane uint8 (H, W). JFIF's Y IS the BT.601
     luma, so this matches the engine's luma contract without touching
-    the chroma back end (chroma coefficients are still entropy-decoded:
-    the bitstream is sequential)."""
-    frame, comps = _decode_all(data)
+    the chroma back end (chroma coefficients still advance the bit
+    reader — the stream is sequential — but via the packed skip LUTs,
+    never materialized)."""
+    frame, comps = _decode_all(data, luma_zz=63)
     y = np.clip(_comp_plane(comps[0], frame["qt"][comps[0].tq]).round(), 0, 255).astype(
         np.uint8
     )
@@ -800,16 +1210,31 @@ def decode_jfif_luma(data) -> np.ndarray:
 def decode_jfif_luma_scaled(data, min_dim: int = 32) -> tuple[np.ndarray, int, int]:
     """(luma uint8 at k/8 scale, orig_h, orig_w): pick the smallest
     k in 1..8 with min(scaled dims) >= min_dim — the same partial-iDCT
-    downscale contract as fjpg.decode_fjpg_luma_scaled."""
-    frame, comps = _decode_all(data)
-    c0 = comps[0]
-    h, w = frame["h"], frame["w"]
-    # Y-plane dims before upsample; choose k from the Y grid
+    downscale contract as fjpg.decode_fjpg_luma_scaled.
+
+    The scale is chosen from the parsed frame header BEFORE entropy
+    decode, so the decode runs in skip mode: only luma coefficients
+    inside the k x k corner are materialized; everything else advances
+    the bitstream through the packed skip LUTs, and progressive scans
+    whose whole band is unneeded are dropped without being read. For
+    the common DC-only (k=1) hashing scale this removes nearly every
+    per-coefficient store."""
+    parsed = _parse(data)
+    frame, comps = parsed["frame"], parsed["comps"]
+    # Y-plane dims before upsample (same formula as _alloc_coefs);
+    # choose k from the Y grid
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    c0w = -(-frame["w"] * comps[0].h // hmax)
+    c0h = -(-frame["h"] * comps[0].v // vmax)
     k = 8
     for cand in range(1, 9):
-        if (c0.hgt * cand) // 8 >= min_dim and (c0.w * cand) // 8 >= min_dim:
+        if (c0h * cand) // 8 >= min_dim and (c0w * cand) // 8 >= min_dim:
             k = cand
             break
+    frame, comps = _decode_parsed(parsed, luma_zz=_corner_zz_max(k))
+    c0 = comps[0]
+    h, w = frame["h"], frame["w"]
     y = np.clip(_comp_plane(c0, frame["qt"][c0.tq], k).round(), 0, 255).astype(np.uint8)
     return y, h, w
 

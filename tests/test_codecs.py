@@ -345,3 +345,88 @@ def test_jfif_reference_fixtures():
     black = decode_jfif(rd(os.path.join("true-grayscale", "200x200-black.jpg")))
     assert black.shape == (200, 200, 3)
     assert int(black.max()) == 0
+
+
+def test_jfif_skip_mode_parity():
+    """The luma-only skip-mode decode (packed skip LUTs + whole-scan
+    drop, r4) must be byte-identical to a full decode restricted to
+    the Y plane, at every partial-iDCT scale and across subsampling /
+    restart / grayscale variants."""
+    import numpy as np
+
+    from idf.codecs import jfif
+
+    def full_then_scale(data, min_dim):
+        frame, comps = jfif._decode_all(data, None)  # no skip mode
+        c0 = comps[0]
+        k = 8
+        for cand in range(1, 9):
+            if (c0.hgt * cand) // 8 >= min_dim and (c0.w * cand) // 8 >= min_dim:
+                k = cand
+                break
+        return (
+            np.clip(jfif._comp_plane(c0, frame["qt"][c0.tq], k).round(), 0, 255)
+            .astype(np.uint8)
+        )
+
+    rng = np.random.default_rng(17)
+    for size in [(24, 40), (100, 130), (256, 256)]:
+        for sub in ["420", "444"]:
+            for ri in [0, 3]:
+                for gray in [False, True]:
+                    shape = size + (() if gray else (3,))
+                    img = rng.integers(0, 256, shape, dtype=np.uint8)
+                    data = jfif.encode_jfif(
+                        img, quality=85, subsampling=sub, restart_interval=ri
+                    )
+                    for min_dim in (16, 32, 96):
+                        got, _h, _w = jfif.decode_jfif_luma_scaled(data, min_dim)
+                        assert np.array_equal(got, full_then_scale(data, min_dim))
+
+
+def test_jfif_skip_mode_reference_fixtures():
+    """Skip-mode parity on REAL encoder output incl. the progressive
+    fixture, where whole AC scans are dropped unread."""
+    import glob
+    import os
+
+    import numpy as np
+    import pytest
+
+    from idf.codecs import jfif
+
+    if not os.path.isdir(_FIXDIR):
+        pytest.skip("reference fixtures absent")
+    for f in sorted(glob.glob(os.path.join(_FIXDIR, "*.jpg"))):
+        data = open(f, "rb").read()
+        frame, comps = jfif._decode_all(data, None)
+        c0 = comps[0]
+        k = 8
+        for cand in range(1, 9):
+            if (c0.hgt * cand) // 8 >= 32 and (c0.w * cand) // 8 >= 32:
+                k = cand
+                break
+        want = (
+            np.clip(jfif._comp_plane(c0, frame["qt"][c0.tq], k).round(), 0, 255)
+            .astype(np.uint8)
+        )
+        got, _h, _w = jfif.decode_jfif_luma_scaled(data)
+        assert np.array_equal(got, want), f
+
+
+def test_jfif_truncated_stream_raises_jfiferror():
+    """Entropy data cut mid-scan must surface as JfifError (the 8-byte
+    fill pad converts the run-off into a caught IndexError), so the
+    per-record tolerance path still classifies it as a decode skip."""
+    import numpy as np
+    import pytest
+
+    from idf.codecs import jfif
+
+    img = np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    data = jfif.encode_jfif(img, quality=85)
+    cut = data[: int(len(data) * 0.6)]
+    with pytest.raises(jfif.JfifError):
+        jfif.decode_jfif(cut)
+    with pytest.raises(jfif.JfifError):
+        jfif.decode_jfif_luma_scaled(cut)
