@@ -483,6 +483,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_pairs": lambda sf: ivf_pairs(_emb(sf), tau=0.4).select_columns(
             ["vec_id_a", "vec_id_b"]
         ),
+        # semantic dedup end-to-end: sign-LSH pairs -> CC -> canonical
+        # map over every vector (the embedding twin of doc_dedup_map);
+        # hash-checked — the oracle replicates bucket math AND the
+        # recursive closure
+        "emb_dedup_map": lambda sf: __import__(
+            "idf.functions.ann", fromlist=["dedup_embeddings_map"]
+        ).dedup_embeddings_map(_emb(sf), tau=0.4, n_bits=8, n_tables=4),
     }
     return q
 
@@ -1122,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
             "/root/testdata/sf0.01/embeddings.parquet",
             n_queries=8, k=5, n_centroids=16, nprobe=4,
         ),
+        "emb_dedup_map": _emb_dedup_map_sql(tau=0.4, n_bits=8, n_tables=4, dim=64),
         "emb_ivf_pairs": _ivf_pairs_sql(
             "/root/testdata/sf0.01/embeddings.parquet",
             tau=0.4, n_centroids=64, assign_probe=2,
@@ -1129,11 +1137,13 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _lsh_pairs_sql(tau: float, n_bits: int, n_tables: int, dim: int) -> str:
-    """Exact SQL replica of idf.functions.ann.lsh_pairs: the SAME
+def _lsh_pairs_cte_body(tau: float, n_bits: int, n_tables: int, dim: int) -> str:
+    """CTE chain ending in ``lsh_pairs(vec_id_a, vec_id_b)`` — the
+    exact SQL replica of idf.functions.ann.lsh_pairs: the SAME
     hyperplane doubles as literals (repr round-trips float64), the same
     strict dot > 0 sign rule and per-table disjoint key space, DISTINCT
-    for the cross-table pair dedup, and the same exact cosine verify."""
+    for the cross-table pair dedup, and the same exact cosine verify.
+    Shared by the pairs oracle and the dedup-map closure oracle."""
     from idf.functions.ann import lsh_hyperplanes
 
     h = lsh_hyperplanes(dim, n_bits, n_tables, seed=7)
@@ -1148,21 +1158,48 @@ def _lsh_pairs_sql(tau: float, n_bits: int, n_tables: int, dim: int) -> str:
             f"SELECT vec_id, {t * (1 << n_bits)} + {bits} AS bucket FROM base"
         )
     union = "\nUNION ALL\n".join(selects)
-    return f"""
-        WITH base AS (
+    return f"""base AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
         ), keys AS (
           {union}
         ), cand AS (
           SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
           FROM keys a JOIN keys b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        )
-        SELECT c.vec_id_a, c.vec_id_b
-        FROM cand c
-        JOIN embeddings x ON x.vec_id = c.vec_id_a
-        JOIN embeddings y ON y.vec_id = c.vec_id_b
-        WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                                     CAST(y.embedding AS DOUBLE[])) >= {tau}
+        ), lsh_pairs AS (
+          SELECT c.vec_id_a, c.vec_id_b
+          FROM cand c
+          JOIN base x ON x.vec_id = c.vec_id_a
+          JOIN base y ON y.vec_id = c.vec_id_b
+          WHERE list_cosine_similarity(x.e, y.e) >= {tau}
+        )"""
+
+
+def _lsh_pairs_sql(tau: float, n_bits: int, n_tables: int, dim: int) -> str:
+    return f"""
+        WITH {_lsh_pairs_cte_body(tau, n_bits, n_tables, dim)}
+        SELECT vec_id_a, vec_id_b FROM lsh_pairs
+    """
+
+
+def _emb_dedup_map_sql(tau: float, n_bits: int, n_tables: int, dim: int) -> str:
+    """dedup map = CC closure over the SAME (exactly replicated)
+    sign-LSH pair set; canon = min vec_id per component — the embedding
+    twin of the doc_dedup_map oracle's recursive CTE."""
+    return f"""
+        WITH RECURSIVE {_lsh_pairs_cte_body(tau, n_bits, n_tables, dim)},
+        und AS (
+          SELECT vec_id_a AS src, vec_id_b AS dst FROM lsh_pairs
+          UNION
+          SELECT vec_id_b, vec_id_a FROM lsh_pairs
+        ),
+        reach(src, dst) AS (
+          SELECT DISTINCT src, src AS dst FROM und
+          UNION
+          SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst
+        ),
+        comp AS (SELECT src AS vec_id, min(dst) AS canon FROM reach GROUP BY src)
+        SELECT e.vec_id, coalesce(c.canon, e.vec_id) AS canon_id
+        FROM embeddings e LEFT JOIN comp c USING (vec_id)
     """
 
 

@@ -604,3 +604,33 @@ def lsh_pairs(
     return bucketed_apply(
         raw, ["vec_id_a", "vec_id_b"], lambda df: df.drop_duplicates(["vec_id_a", "vec_id_b"])
     )
+
+
+def dedup_embeddings_map(
+    embeddings: rd.Dataset,
+    tau: float = 0.9,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    driver_max_edges: int = 5_000_000,
+) -> rd.Dataset:
+    """End-to-end embedding-cosine near-dup dedup: sign-LSH candidate
+    pairs (exact cosine verify) -> connected components ->
+    (vec_id, canon_id) canonical map over ALL vectors (canon_id ==
+    vec_id for non-duplicates; the keep-list is ``canon_id == vec_id``).
+    The embedding twin of ``dedup_docs_map`` — semantic dedup for a
+    training-data pipeline where near-duplicate examples live in
+    embedding space rather than token space.
+
+    100-TB shape: inherits ``lsh_pairs``'s single bucket shuffle +
+    chunked in-bucket matmuls, then the shared ``canonical_map``
+    closure (driver CC under ``driver_max_edges``, distributed
+    min-label propagation above; the corpus streams through the final
+    map join either way). Deterministic hyperplanes mean the DuckDB
+    oracle replicates the WHOLE operator — bucket math, cosine verify
+    and the recursive closure — so the driver gate hash-checks it.
+    """
+    from idf.functions.canon import canonical_map
+
+    pairs = lsh_pairs(embeddings, tau=tau, n_bits=n_bits, n_tables=n_tables, seed=seed)
+    return canonical_map(embeddings, pairs, "vec_id", driver_max_edges=driver_max_edges)

@@ -901,100 +901,11 @@ def dedup_docs_map(
     keep-list is ``canon_id == doc_id``). The text twin of the image
     pipeline's cluster+plan stages.
 
-    Components over the near-dup pair graph (the corpus minority) run
-    on the driver below ``driver_max_edges`` — the same auto-guard the
-    image CC uses — and via distributed min-label propagation above it.
-    Either way the canon map reaches the corpus as a broadcast (small
-    case) or a bucketed co-group join (scale case); the documents table
-    itself streams."""
-    import ray
-
-    from idf.ops import get_broadcast
-    from idf.stages.cc import _cc_labels, _factorize_sorted, components_labelprop
+    The closure step (pairs -> CC -> corpus-wide map join, with the
+    driver/labelprop auto-guard at ``driver_max_edges``) is the shared
+    ``idf.functions.canon.canonical_map`` — the same machinery backs
+    the embedding family's ``dedup_embeddings_map``."""
+    from idf.functions.canon import canonical_map
 
     pairs = minhash_lsh_pairs(docs, tau=tau, hash_mode=hash_mode)
-    edges = pairs.map_batches(
-        lambda t: t.select(["doc_id_a", "doc_id_b"]).replace_schema_metadata(None),
-        batch_format="pyarrow",
-    ).materialize()
-    n_edges = edges.count()
-    ids_only = docs.map_batches(
-        lambda t: t.select(["doc_id"]).replace_schema_metadata(None),
-        batch_format="pyarrow",
-    )
-
-    if n_edges <= driver_max_edges:
-        ep = edges.to_pandas()
-        codes, uniq = _factorize_sorted(
-            pd.concat([ep["doc_id_a"], ep["doc_id_b"]], ignore_index=True)
-        )
-        labels = _cc_labels(codes[: len(ep)], codes[len(ep) :], len(uniq))
-        # sorted (node_id, canon_id) int arrays, broadcast once; batch
-        # lookup is a searchsorted — int64-exact end to end (a dict
-        # .map would round NaN-misses through float64)
-        nodes = np.asarray(uniq, dtype=np.int64)
-        canon_of = nodes[labels]
-        ref = ray.put((nodes, canon_of))
-
-        def _map(df: pd.DataFrame) -> pd.DataFrame:
-            k, v = get_broadcast(ref)
-            ids = df["doc_id"].to_numpy(dtype=np.int64)
-            out = ids.copy()
-            if len(k):
-                pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
-                hit = k[pos] == ids
-                out[hit] = v[pos[hit]]
-            return pd.DataFrame({"doc_id": ids, "canon_id": out})
-
-        return ids_only.map_batches(_map, batch_format="pandas")
-
-    # scale path: distributed CC, then an int-safe bucketed co-group
-    # (searchsorted, NOT a pandas left-merge — a merge promotes misses
-    # to float64 and would corrupt 64-bit ids above 2^53)
-    id_edges = edges.map_batches(
-        lambda t: pa.table({"id_a": t["doc_id_a"], "id_b": t["doc_id_b"]}),
-        batch_format="pyarrow",
-    )
-    labels = components_labelprop(id_edges).map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t["image_id"],
-                "canon": t["cluster_id"],
-                "__side": pa.array(np.ones(len(t), dtype=np.int8)),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    tagged_docs = ids_only.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "canon": pa.nulls(len(t), pa.int64()),
-                "__side": pa.array(np.zeros(len(t), dtype=np.int8)),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-
-    def _join(t: pa.Table) -> pa.Table:
-        # ARROW in (arrow_fn=True): 'canon' is null-padded on side 0 —
-        # a whole-partition pandas conversion would promote it to
-        # float64 and round canon ids above 2^53 (r2 ADVICE, high).
-        # Per-side Arrow filter first, then exact int64 searchsorted.
-        import pyarrow.compute as pc
-
-        lt = t.filter(pc.equal(t["__side"], 0))
-        rt = t.filter(pc.equal(t["__side"], 1)).sort_by("doc_id")
-        x = lt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        canon = x.copy()
-        rp = rt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(rp):
-            rl = rt["canon"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.clip(np.searchsorted(rp, x), 0, len(rp) - 1)
-            hit = rp[pos] == x
-            canon[hit] = rl[pos[hit]]
-        return pa.table({"doc_id": pa.array(x), "canon_id": pa.array(canon)})
-
-    from idf.ops import bucketed_apply
-
-    return bucketed_apply(tagged_docs.union(labels), "doc_id", _join, arrow_fn=True)
+    return canonical_map(docs, pairs, "doc_id", driver_max_edges=driver_max_edges)

@@ -445,3 +445,62 @@ def test_ivf_sql_oracle_parity_small_sf(emb):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(ray_pairs, sql_pairs, check_dtype=False)
+
+
+def test_emb_dedup_map_routes_and_closure(ray_session):
+    """dedup_embeddings_map: canon = min vec_id of the connected
+    component over the lsh_pairs edge set (verified against a
+    networkx-free driver closure over the SAME pairs), every vec_id
+    appears exactly once, non-dups map to themselves, and the
+    distributed labelprop route (driver_max_edges=0) is byte-identical
+    to the driver-CC route — the canonical_map twin of
+    dedup_docs_map's route-parity guarantee."""
+    import pandas as pd
+    import ray.data as rd
+
+    from idf.functions.ann import dedup_embeddings_map, lsh_pairs
+
+    rng = np.random.default_rng(23)
+    rows = []
+    vid = 0
+    for fam in range(25):  # chained families exercise transitive closure
+        base = rng.standard_normal(64)
+        for _ in range(4):
+            base = base + rng.standard_normal(64) * 0.05  # chain: a~b~c~d
+            rows.append({"vec_id": vid, "embedding": base.astype(np.float32).tolist()})
+            vid += 1
+    for _ in range(60):
+        rows.append(
+            {"vec_id": vid, "embedding": rng.standard_normal(64).astype(np.float32).tolist()}
+        )
+        vid += 1
+    emb = rd.from_pandas(pd.DataFrame(rows))
+
+    tau = 0.9
+    got = dedup_embeddings_map(emb, tau=tau).to_pandas().sort_values("vec_id")
+    assert list(got["vec_id"]) == list(range(vid))  # total map, one row per vector
+
+    # independent closure over the same (already-tested) pair set
+    pairs = lsh_pairs(emb, tau=tau).to_pandas()
+    parent = list(range(vid))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["vec_id_a"], pairs["vec_id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = [find(i) for i in range(vid)]
+    assert list(got["canon_id"]) == want
+    assert (got["canon_id"] != got["vec_id"]).sum() >= 25  # dups actually collapsed
+
+    scale = (
+        dedup_embeddings_map(emb, tau=tau, driver_max_edges=0)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert list(scale["canon_id"]) == want
