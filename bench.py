@@ -84,6 +84,22 @@ def run_bench() -> dict:
         run_dedup(images, run_dir, DedupConfig(), resume=False, do_apply=False)
         pipeline_sec = time.time() - t0
         queries["img_dedup_pipeline"] = round(pipeline_sec, 3)
+    else:
+        # docs-only child (--family mode): the image pipeline normally
+        # absorbs Ray worker-pool spin-up before any doc query is timed.
+        # Without it the FIRST doc query pays ~2 s of worker startup at
+        # 32 CPUs and the two-width comparison reads backwards (observed
+        # r4: doc_minhash 3.9 s at 32 vs 1.5 s at 8). Warm the pool with
+        # one untimed task per CPU slot + page-cache the input tables.
+        import pyarrow as pa
+
+        rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+            lambda t: t, batch_format="pyarrow"
+        ).count()
+        for tbl in ("documents.parquet", "embeddings.parquet", "events.parquet"):
+            rd.read_parquet(os.path.join(sf_dir, tbl)).map_batches(
+                lambda t: pa.table({"n": [len(t)]}), batch_format="pyarrow"
+            ).sum("n")
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     t0 = time.time()
