@@ -134,11 +134,20 @@ def exchange_apply(
     if n_parts is None:
         target_partition_bytes = 256 << 20
         size = mat.size_bytes() or 0
-        n_parts = max(
-            8,
-            available_cpus() * 2,
-            int(size // target_partition_bytes) + 1,
-        )
+        if size < (64 << 20):
+            # tiny exchange: don't fan out to 2x CPUs — each _split task
+            # returns n_parts objects, so 64-way partitioning of a 5 MB
+            # input drowns in per-object overhead (measured r4: every
+            # sf0.1 doc-family query ~2x SLOWER at 32 CPUs than at 8
+            # purely from this; BENCH/family_r4.json). ~4 MB/partition
+            # keeps small shuffles wide enough while capping object
+            # count; inputs >= 64 MB keep the width-scaled sizing.
+            n_parts = max(8, int(size // (4 << 20)) + 1)
+        else:
+            n_parts = max(
+                available_cpus() * 2,
+                int(size // target_partition_bytes) + 1,
+            )
     n_parts = int(n_parts)
 
     @ray.remote
