@@ -133,6 +133,12 @@ def run_bench() -> dict:
     lsh_pairs(emb, tau=0.4, n_bits=8, n_tables=4).count()
     queries["emb_lsh_pairs"] = round(time.time() - t0, 3)
 
+    from idf.functions.ann import dedup_embeddings_map
+
+    t0 = time.time()
+    dedup_embeddings_map(emb, tau=0.4, n_bits=8, n_tables=4).count()
+    queries["emb_dedup_map"] = round(time.time() - t0, 3)
+
     from idf.functions.relational import events_asof_orders, sessionize
 
     ev = rd.read_parquet(
