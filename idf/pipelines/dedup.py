@@ -87,6 +87,17 @@ def run_dedup(
         n_ok = pc.sum(pc.equal(vt["status"], "ok")).as_py() or 0
         sampled = int((v > 0).sum())
         mismatched = int((v == 2).sum())
+        if sampled == 0 and cfg.phash_verify_fraction > 0.0:
+            # bytes-FREE scan (table ships a size column, so the main
+            # pass read no bytes and could not verify in-batch): run the
+            # standalone sampled-decode pass — thin metadata scan picks
+            # the same content-keyed sample, then an id-pushdown pruned
+            # read decodes ONLY those rows (O(sample) row groups)
+            from idf.stages.hash_stage import verify_precomputed_sample
+
+            vr = verify_precomputed_sample(images_path, cfg)
+            sampled = vr["phash_verified"]
+            mismatched = vr["phash_verify_mismatch"]
         man.record_metrics(
             "hashes",
             {

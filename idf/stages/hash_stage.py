@@ -117,6 +117,20 @@ class DecodeHasher:
         )
 
 
+def _verify_sample_mask(ids: np.ndarray, thresh, seed: int) -> np.ndarray:
+    """Content-keyed ROW-level verify-sample predicate for the
+    bytes-present in-batch verify (PrecomputedHasher): pure function of
+    image_id — pandas siphash -> splitmix64 -> uint64 threshold. The
+    bytes-free standalone pass (``verify_precomputed_sample``) samples
+    at ROW-GROUP granularity instead: a uniform row sample touches
+    every row group, so it cannot be read-pruned (see that docstring)."""
+    import pandas as pd
+
+    from idf.functions.ann import _mix64
+
+    return _mix64(pd.util.hash_array(ids.astype(object)), seed) <= thresh
+
+
 class PrecomputedHasher:
     """Trust-but-verify hash stage (r3 verdict #2): take the input
     table's precomputed ``phash`` column (input_hint schema ships one)
@@ -126,8 +140,10 @@ class PrecomputedHasher:
     Semantics vs ``DecodeHasher`` (bit-compatible on a truthful table):
       - ``pixels`` = ``w*h`` from the table (the decode path reports
         ORIGINAL dims, which is exactly what w/h are), ``size`` =
-        encoded byte length (``pc.binary_length`` — the bytes column is
-        still read by the fused task but never decoded).
+        encoded byte length: from the table's ``size`` column when it
+        ships one (bytes-FREE scan — the main pass reads no bytes at
+        all; verification moves to ``verify_precomputed_sample``), else
+        ``pc.binary_length`` over the in-batch bytes.
       - rows whose metadata marks them undecodable (``w<=0 or h<=0``,
         the convention the synth generator and any honest corpus writer
         use for rows whose hash could not be computed) -> status
@@ -185,20 +201,25 @@ class PrecomputedHasher:
         phash = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
         phash[~ok] = 0
         pixels = np.where(ok, w * h, np.int64(-1))
-        sizes = (
-            pc.binary_length(batch["bytes"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        )
+        has_bytes = "bytes" in batch.column_names
+        if has_bytes:
+            sizes = (
+                pc.binary_length(batch["bytes"]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+        else:
+            # bytes-free scan (table ships a size column): the 100-TB
+            # shape — the main pass never reads the bytes column at all;
+            # the verify sample's bytes come from a separate id-pushdown
+            # pruned read (verify_precomputed_sample)
+            sizes = batch["size"].to_numpy(zero_copy_only=False).astype(np.int64)
         sizes = np.where(ok, sizes, np.int64(-1))
         verify = np.zeros(n, dtype=np.int8)
-        if self.verify_fraction > 0.0 and ok.any():
+        if has_bytes and self.verify_fraction > 0.0 and ok.any():
             if self.sample_all:
                 sample = ok
             else:
-                from idf.functions.ann import _mix64
-
                 ids = batch["image_id"].to_numpy(zero_copy_only=False)
-                hv = _mix64(pd.util.hash_array(ids.astype(object)), self.seed)
-                sample = ok & (hv <= self.thresh)
+                sample = ok & _verify_sample_mask(ids, self.thresh, self.seed)
             if sample.any():
                 sub = batch.filter(pa.array(sample))
                 dec = self.decoder(sub)
@@ -464,6 +485,11 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
         cols = ["image_id", "bytes", "fmt", "caption"] + (
             list(PRECOMPUTED_COLUMNS) if cfg.use_precomputed_phash else []
         )
+        # NOTE: the bytes-free precomputed scan (size column present ->
+        # drop `bytes`, verify via verify_precomputed_sample) is parquet-
+        # only for now: the standalone verify pass needs an id-pushdown
+        # filtered read, which read_lance has never been exercised with
+        # in-sandbox. Lance inputs keep the bytes-present in-batch verify.
         return hash_stage(read_images(images_path, columns=cols), cfg)
     if _is_loose_file_dir(images_path):
         # the reference's native input mode: a directory of image FILES
@@ -493,6 +519,14 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
                 f"the input table; {images_path!r} lacks {missing}"
             )
         columns += list(PRECOMPUTED_COLUMNS)
+        if "size" in schema_names:
+            # bytes-FREE scan: the table ships its encoded byte length,
+            # so the main pass reads only metadata-width columns — at
+            # 100 TB the bytes column (≈ the whole table) never leaves
+            # storage. The verify sample's bytes come from the separate
+            # id-pushdown pruned pass (verify_precomputed_sample), which
+            # touches only the row groups holding sampled ids.
+            columns = [c for c in columns if c != "bytes"] + ["size"]
     algo, batch_rows = cfg.algo, cfg.decode_batch_size
     exif_bytes = cfg.exif_from_bytes
     use_pre = cfg.use_precomputed_phash
@@ -526,3 +560,100 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
     return items.map_batches(
         read_and_hash, batch_format="pyarrow", batch_size=None, num_cpus=1
     )
+
+
+def verify_precomputed_sample(images_path: str, cfg) -> dict:
+    """Standalone trust-but-verify pass for bytes-FREE precomputed
+    scans (table ships a ``size`` column, so the main hash pass never
+    read ``bytes``).
+
+    Sampling is ROW-GROUP-ALIGNED, not row-level: a content-keyed
+    row sample spreads uniformly across the physical layout, so at any
+    realistic row-group size EVERY group contains a sampled row and the
+    "pruned" byte read degenerates to a full second scan (measured:
+    11.3 s vs the 0.8 s main pass at sf0.1 across 1,875 fragments).
+    Instead each (fragment, row_group) is selected with probability
+    ``cfg.phash_verify_fraction`` via a splitmix64 hash of its path+index
+    — deterministic per layout — and selected groups are decoded IN FULL
+    and compared bit-exactly against their phash column. Expected byte
+    traffic = verify_fraction of the corpus, the contract the mode
+    advertises. One Ray task per sampled group (they are independent);
+    the returned counters feed the pipeline gate (idf/pipelines/dedup.py).
+
+    The bytes-present path keeps its row-level content-keyed in-batch
+    verify (PrecomputedHasher) — it already has the bytes in hand, so
+    row-level is free there.
+    """
+    import pyarrow.dataset as pads
+
+    frac = min(max(float(cfg.phash_verify_fraction), 0.0), 1.0)
+    if frac <= 0.0:
+        return {"phash_verified": 0, "phash_verify_mismatch": 0}
+
+    from idf.functions.ann import _mix64
+
+    units: list[tuple[str, int]] = []
+    for fr in pads.dataset(images_path).get_fragments():
+        try:
+            n_rg = fr.metadata.num_row_groups
+        except Exception:
+            n_rg = 1
+        units.extend((fr.path, rg) for rg in range(n_rg))
+    if not units:
+        return {"phash_verified": 0, "phash_verify_mismatch": 0}
+    keys = np.array([f"{os.path.basename(p)}:{rg}" for p, rg in units], dtype=object)
+    import pandas as pd
+
+    thresh = np.uint64(int(frac * float(2**63 - 1))) * np.uint64(2)
+    if frac >= 1.0:
+        mask = np.ones(len(units), dtype=bool)
+    else:
+        mask = _mix64(pd.util.hash_array(keys), 42) <= thresh
+        if not mask.any():  # tiny tables: always verify at least one group
+            mask[int(_mix64(np.array([len(units)], np.uint64), 42)[0] % len(units))] = True
+    chosen = [u for u, m in zip(units, mask) if m]
+
+    algo, exif_bytes, batch_rows = cfg.algo, cfg.exif_from_bytes, cfg.decode_batch_size
+
+    def _check(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        hasher = DecodeHasher(algo, exif_from_bytes=exif_bytes)
+        n_v = 0
+        n_m = 0
+        import pyarrow.compute as pc
+
+        for path, rg in zip(batch["path"].to_pylist(), batch["rg"].to_pylist()):
+            t = pq.ParquetFile(path).read_row_group(
+                rg, columns=["image_id", "bytes", "fmt", "caption", "w", "h", "phash"]
+            )
+            # same eligibility rule as the in-batch verify: fmt accepted
+            # AND metadata marks the row decodable — rows the corpus
+            # honestly flags (corrupt probes get w<=0, alien formats get
+            # skip:fmt) are outside the trust contract, not mismatches
+            fmt_ok = pc.is_in(
+                pc.utf8_lower(pc.cast(t["fmt"], pa.string())), value_set=_FMT_SET
+            )
+            fmt_ok = pc.fill_null(fmt_ok, False).combine_chunks().to_numpy(zero_copy_only=False)
+            w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+            eligible = fmt_ok & (w > 0) & (h > 0)
+            exp = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+            for lo in range(0, len(t), batch_rows):
+                sub = t.slice(lo, batch_rows)
+                dec = hasher(sub)
+                ok = dec["status"].to_numpy(zero_copy_only=False) == "ok"
+                got = dec["phash"].to_numpy(zero_copy_only=False)
+                m_ok = eligible[lo : lo + len(sub)]
+                e = exp[lo : lo + len(sub)]
+                n_v += int(m_ok.sum())
+                # mismatch: metadata said ok but decode failed, or hash differs
+                n_m += int((m_ok & (~ok | (got != e))).sum())
+        return pa.table({"verified": [n_v], "mismatched": [n_m]})
+
+    work = rd.from_items([{"path": p, "rg": rg} for p, rg in chosen])
+    res = work.map_batches(_check, batch_format="pyarrow", batch_size=1).to_pandas()
+    return {
+        "phash_verified": int(res["verified"].sum()),
+        "phash_verify_mismatch": int(res["mismatched"].sum()),
+    }

@@ -139,3 +139,86 @@ def test_non_phash_algo_rejected():
 
     with pytest.raises(ValueError, match="phash"):
         PrecomputedHasher("ahash")
+
+
+@pytest.fixture(scope="module")
+def sized_images_table(small_images_table, tmp_path_factory):
+    """The corpus with an explicit size column (bytes-free scan mode):
+    size = encoded byte length, exactly what the bytes-present path
+    derives via pc.binary_length."""
+    import pyarrow.compute as pc
+
+    t = pq.read_table(small_images_table)
+    t = t.append_column("size", pc.binary_length(t["bytes"]).cast(pa.int64()))
+    p = str(tmp_path_factory.mktemp("sized") / "images.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+def test_bytes_free_scan_parity_and_verify(ray_session, both_runs, sized_images_table, tmp_path):
+    """With a size column the main precomputed pass reads NO bytes and
+    the verify moves to the standalone id-pushdown pass — output must
+    stay bit-identical to the bytes-present precomputed run, and the
+    gate metrics must still show a real decoded sample."""
+    dec_dir, _, _ = both_runs
+    free_dir = str(tmp_path / "run_bytes_free")
+    man = run_dedup(
+        sized_images_table,
+        free_dir,
+        DedupConfig(use_precomputed_phash=True, phash_verify_fraction=0.25),
+        resume=False,
+        do_apply=False,
+    )
+    cols = ["image_id", "phash", "pixels", "size", "status"]
+    dec = pads.dataset(f"{dec_dir}/hashes").to_table(columns=cols).to_pandas()
+    pre = pads.dataset(f"{free_dir}/hashes").to_table(columns=cols).to_pandas()
+    dec = dec.sort_values("image_id").reset_index(drop=True)
+    pre = pre.sort_values("image_id").reset_index(drop=True)
+    for c in cols:
+        assert (dec[c] == pre[c]).all(), f"column {c} diverged (bytes-free scan)"
+    assert _partition(dec_dir) == _partition(free_dir)
+    m = man.summary()["hashes"]["metrics"]
+    assert m["phash_verified"] > 0, "standalone verify pass sampled nothing"
+    assert m["phash_verify_mismatch"] == 0
+    # the hashes table's in-batch verify column must be all zeros — the
+    # main scan had no bytes to verify against
+    vt = pads.dataset(f"{free_dir}/hashes").to_table(columns=["verify"])
+    assert (vt["verify"].to_numpy(zero_copy_only=False) == 0).all()
+
+
+def test_bytes_free_mismatch_injection_fails_gate(ray_session, sized_images_table, tmp_path):
+    """Poisoned phash column must still fail loudly when the main scan
+    never reads bytes: the standalone pruned-decode pass is the gate."""
+    t = pq.read_table(sized_images_table)
+    ph = t["phash"].to_numpy(zero_copy_only=False).copy()
+    ok_idx = np.flatnonzero(t["w"].to_numpy(zero_copy_only=False) > 0)[:3]
+    ph[ok_idx] ^= 0x5A5A5A5A
+    t = t.set_column(t.schema.get_field_index("phash"), "phash", pa.array(ph))
+    bad = str(tmp_path / "poisoned_sized.parquet")
+    pq.write_table(t, bad)
+    with pytest.raises(RuntimeError, match="verification failed"):
+        run_dedup(
+            bad,
+            str(tmp_path / "run"),
+            DedupConfig(use_precomputed_phash=True, phash_verify_fraction=1.0),
+            resume=False,
+            do_apply=False,
+        )
+
+
+def test_bytes_free_sample_matches_in_batch_sample(ray_session, sized_images_table):
+    """The standalone pass and the in-batch verify must pick the SAME
+    content-keyed sample (shared _verify_sample_mask) — sample-set
+    drift between the two modes would make their gates incomparable."""
+    from idf.stages.hash_stage import PrecomputedHasher, _verify_sample_mask
+
+    t = pq.read_table(sized_images_table)
+    h = PrecomputedHasher(verify_fraction=0.25)
+    ids = t["image_id"].to_numpy(zero_copy_only=False)
+    mask = _verify_sample_mask(ids, h.thresh, h.seed)
+    assert 0 < mask.sum() < len(ids)
+    # in-batch path (bytes present) marks exactly those ok rows
+    out = h(t.drop_columns(["size"]))
+    v = out["verify"].to_numpy(zero_copy_only=False)
+    ok = out["status"].to_numpy(zero_copy_only=False) == "ok"
+    assert ((v > 0) == (mask & ok)).all()
