@@ -64,6 +64,10 @@ def _cfg(args) -> "object":
     elif getattr(args, "threshold", None) is not None:
         # reference web-UI knob (Commands.java:406-409): 0.95 -> 3
         kw["radius"] = threshold_to_radius(args.threshold)
+    if getattr(args, "precomputed_phash", False):
+        kw["use_precomputed_phash"] = True
+        if getattr(args, "verify_fraction", None) is not None:
+            kw["phash_verify_fraction"] = args.verify_fraction
     return DedupConfig(**kw)
 
 
@@ -245,6 +249,18 @@ def main(argv=None) -> int:
             type=float,
             default=None,
             help="similarity threshold (0,1]; radius = round((1-t)*64); ignored if --radius given",
+        )
+        sp.add_argument(
+            "--precomputed-phash",
+            action="store_true",
+            help="trust the table's phash column; decode only a sampled "
+            "fidelity gate (bytes-free scan when the table has a size column)",
+        )
+        sp.add_argument(
+            "--verify-fraction",
+            type=float,
+            default=None,
+            help="sampled-decode fraction for --precomputed-phash (default 0.01)",
         )
         sp.add_argument("--no-resume", action="store_true")
         sp.set_defaults(fn=fn)
