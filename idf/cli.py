@@ -68,6 +68,11 @@ def _cfg(args) -> "object":
         kw["use_precomputed_phash"] = True
         if getattr(args, "verify_fraction", None) is not None:
             kw["phash_verify_fraction"] = args.verify_fraction
+    elif getattr(args, "verify_fraction", None) is not None:
+        raise SystemExit(
+            "--verify-fraction only applies with --precomputed-phash "
+            "(the full-decode path verifies every row by definition)"
+        )
     return DedupConfig(**kw)
 
 

@@ -90,14 +90,30 @@ def run_dedup(
         if sampled == 0 and cfg.phash_verify_fraction > 0.0:
             # bytes-FREE scan (table ships a size column, so the main
             # pass read no bytes and could not verify in-batch): run the
-            # standalone sampled-decode pass — thin metadata scan picks
-            # the same content-keyed sample, then an id-pushdown pruned
-            # read decodes ONLY those rows (O(sample) row groups)
-            from idf.stages.hash_stage import verify_precomputed_sample
+            # standalone row-group-aligned sampled-decode pass. Keyed on
+            # the MODE (parquet + size column), not on sampled==0 alone —
+            # a bytes-present Lance run whose tiny in-batch sample came
+            # up empty must NOT fall into the parquet-only verify pass.
+            bytes_free = False
+            if not images_path.rstrip("/").endswith(".lance"):
+                try:
+                    bytes_free = "size" in pads.dataset(images_path).schema.names
+                except Exception:
+                    bytes_free = False
+            prev = man.state["stages"].get("hashes", {}).get("metrics") or {}
+            if bytes_free and prev.get("phash_verified", 0) > 0:
+                # resumed run: the standalone pass already paid its
+                # sampled decode on a previous invocation — reuse the
+                # manifest-recorded result instead of re-decoding
+                # verify_fraction of the corpus on every resume
+                sampled = prev["phash_verified"]
+                mismatched = prev["phash_verify_mismatch"]
+            elif bytes_free:
+                from idf.stages.hash_stage import verify_precomputed_sample
 
-            vr = verify_precomputed_sample(images_path, cfg)
-            sampled = vr["phash_verified"]
-            mismatched = vr["phash_verify_mismatch"]
+                vr = verify_precomputed_sample(images_path, cfg)
+                sampled = vr["phash_verified"]
+                mismatched = vr["phash_verify_mismatch"]
         man.record_metrics(
             "hashes",
             {

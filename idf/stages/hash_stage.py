@@ -592,8 +592,10 @@ def verify_precomputed_sample(images_path: str, cfg) -> dict:
 
     from idf.functions.ann import _mix64
 
+    dset = pads.dataset(images_path)
+    has_orient = "orientation" in dset.schema.names
     units: list[tuple[str, int]] = []
-    for fr in pads.dataset(images_path).get_fragments():
+    for fr in dset.get_fragments():
         try:
             n_rg = fr.metadata.num_row_groups
         except Exception:
@@ -601,13 +603,22 @@ def verify_precomputed_sample(images_path: str, cfg) -> dict:
         units.extend((fr.path, rg) for rg in range(n_rg))
     if not units:
         return {"phash_verified": 0, "phash_verify_mismatch": 0}
-    keys = np.array([f"{os.path.basename(p)}:{rg}" for p, rg in units], dtype=object)
+    root = images_path.rstrip("/")
+    # key on the dataset-root-relative path, NOT the basename:
+    # hive-partitioned layouts repeat basenames (date=D*/part-0.parquet),
+    # which would give every group the same key and all-or-nothing
+    # correlated selection
+    keys = np.array(
+        [f"{os.path.relpath(p, root)}:{rg}" for p, rg in units], dtype=object
+    )
     import pandas as pd
 
-    thresh = np.uint64(int(frac * float(2**63 - 1))) * np.uint64(2)
     if frac >= 1.0:
         mask = np.ones(len(units), dtype=bool)
     else:
+        # threshold only computed on this branch: at frac==1.0 the
+        # int(1.0*(2^63-1)) rounds up to 2^63 and *2 wraps uint64 to 0
+        thresh = np.uint64(int(frac * float(2**63 - 1))) * np.uint64(2)
         mask = _mix64(pd.util.hash_array(keys), 42) <= thresh
         if not mask.any():  # tiny tables: always verify at least one group
             mask[int(_mix64(np.array([len(units)], np.uint64), 42)[0] % len(units))] = True
@@ -623,10 +634,14 @@ def verify_precomputed_sample(images_path: str, cfg) -> dict:
         n_m = 0
         import pyarrow.compute as pc
 
+        # the orientation column must ride along when the table has one:
+        # DecodeHasher (and the in-batch verify) honor it, so omitting it
+        # here would spuriously fail honest oriented corpora at the gate
+        cols = ["image_id", "bytes", "fmt", "caption", "w", "h", "phash"] + (
+            ["orientation"] if has_orient else []
+        )
         for path, rg in zip(batch["path"].to_pylist(), batch["rg"].to_pylist()):
-            t = pq.ParquetFile(path).read_row_group(
-                rg, columns=["image_id", "bytes", "fmt", "caption", "w", "h", "phash"]
-            )
+            t = pq.ParquetFile(path).read_row_group(rg, columns=cols)
             # same eligibility rule as the in-batch verify: fmt accepted
             # AND metadata marks the row decodable — rows the corpus
             # honestly flags (corrupt probes get w<=0, alien formats get

@@ -222,3 +222,70 @@ def test_bytes_free_sample_matches_in_batch_sample(ray_session, sized_images_tab
     v = out["verify"].to_numpy(zero_copy_only=False)
     ok = out["status"].to_numpy(zero_copy_only=False) == "ok"
     assert ((v > 0) == (mask & ok)).all()
+
+
+def test_bytes_free_verify_honors_orientation_column(ray_session, sized_images_table, tmp_path):
+    """Regression (r4 code review, CONFIRMED): the standalone verify
+    pass omitted the orientation column from its row-group read, so an
+    honest corpus whose phash was computed WITH orientation applied
+    failed the gate spuriously (in-batch verify passed the same table).
+    Construct truth by the same path the verifier uses: recompute phash
+    via DecodeHasher on batches carrying the orientation column."""
+    from idf.stages.hash_stage import DecodeHasher
+
+    t = pq.read_table(sized_images_table)
+    n = len(t)
+    orient = np.ones(n, dtype=np.int32)
+    orient[::3] = 8  # rotate a third of the corpus 90°
+    t = t.append_column("orientation", pa.array(orient))
+    dec = DecodeHasher()(t)  # batch carries orientation -> honest hashes
+    t = t.set_column(t.schema.get_field_index("phash"), "phash", dec["phash"])
+    src = str(tmp_path / "oriented.parquet")
+    pq.write_table(t, src)
+    man = run_dedup(
+        src,
+        str(tmp_path / "run"),
+        DedupConfig(use_precomputed_phash=True, phash_verify_fraction=1.0),
+        resume=False,
+        do_apply=False,
+    )
+    m = man.summary()["hashes"]["metrics"]
+    assert m["phash_verified"] > 0
+    assert m["phash_verify_mismatch"] == 0, "verify pass ignored the orientation column"
+
+
+def test_bytes_free_group_sampling_not_all_or_nothing(ray_session, sized_images_table, tmp_path):
+    """Regression (r4 code review): sampling keys used the file BASENAME,
+    so hive-style layouts whose files repeat basenames (part=*/part-0)
+    all shared one key — one splitmix64 draw selected every group or
+    none. With root-relative keys a 0.3 fraction over 40 single-group
+    files must select a strict subset."""
+    from idf.config import DedupConfig
+    from idf.stages.hash_stage import verify_precomputed_sample
+
+    t = pq.read_table(sized_images_table)
+    root = tmp_path / "hive"
+    per = max(1, len(t) // 40)
+    total = 0
+    for i in range(40):
+        sub = t.slice(i * per, per)
+        if not len(sub):
+            break
+        d = root / f"part={i}"
+        d.mkdir(parents=True)
+        pq.write_table(sub, str(d / "part-0.parquet"))
+        total += len(sub)
+    vr = verify_precomputed_sample(
+        str(root), DedupConfig(use_precomputed_phash=True, phash_verify_fraction=0.3)
+    )
+    assert 0 < vr["phash_verified"] < total, (
+        f"group sampling degenerated: {vr['phash_verified']} of {total} rows verified"
+    )
+    assert vr["phash_verify_mismatch"] == 0
+
+
+def test_verify_fraction_requires_precomputed_flag():
+    from idf.cli import main
+
+    with pytest.raises(SystemExit, match="precomputed-phash"):
+        main(["run", "/tmp/x.parquet", "/tmp/y", "--verify-fraction", "0.5"])
