@@ -1125,16 +1125,27 @@ def oracle_sql() -> dict[str, str]:
         # IVF ops hash-checked via locally-retrained centroid literals
         # (r3 verdict #4); the driver compares at sf=0.01, so the local
         # trainer reads that table — same convention as img_oracle_sql
-        "emb_ann_ivf": _ivf_topk_sql(
-            "/root/testdata/sf0.01/embeddings.parquet",
-            n_queries=8, k=5, n_centroids=16, nprobe=4,
-        ),
         "emb_dedup_map": _emb_dedup_map_sql(tau=0.4, n_bits=8, n_tables=4, dim=64),
-        "emb_ivf_pairs": _ivf_pairs_sql(
-            "/root/testdata/sf0.01/embeddings.parquet",
-            tau=0.4, n_centroids=64, assign_probe=2,
+        # the IVF oracles train the (deterministic, memoized) coarse
+        # quantizer from the sf0.01 fixture; added only when the fixture
+        # exists so oracle_sql() keeps working for every OTHER query on
+        # machines without /root/testdata (the driver box has it)
+        **(
+            {
+                "emb_ann_ivf": _ivf_topk_sql(
+                    _IVF_FIXTURE, n_queries=8, k=5, n_centroids=16, nprobe=4
+                ),
+                "emb_ivf_pairs": _ivf_pairs_sql(
+                    _IVF_FIXTURE, tau=0.4, n_centroids=64, assign_probe=2
+                ),
+            }
+            if os.path.exists(_IVF_FIXTURE)
+            else {}
         ),
     }
+
+
+_IVF_FIXTURE = "/root/testdata/sf0.01/embeddings.parquet"
 
 
 def _lsh_pairs_cte_body(tau: float, n_bits: int, n_tables: int, dim: int) -> str:

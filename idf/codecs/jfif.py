@@ -1199,7 +1199,15 @@ def decode_jfif_luma(data) -> np.ndarray:
     luma, so this matches the engine's luma contract without touching
     the chroma back end (chroma coefficients still advance the bit
     reader — the stream is sequential — but via the packed skip LUTs,
-    never materialized)."""
+    never materialized).
+
+    DELIBERATE divergence from the full ``decode_jfif``: chroma-only
+    scans that ``_scan_skippable`` drops are never entropy-checked, so
+    a JPEG whose chroma scan is corrupt/truncated hashes fine here but
+    raises on the RGB path (thumbnails). The hash contract consumes
+    only luma, and rejecting an image for damage in planes the hash
+    never reads would be the wrong trade; expect status counts to
+    differ from the RGB decoder on such corpora."""
     frame, comps = _decode_all(data, luma_zz=63)
     y = np.clip(_comp_plane(comps[0], frame["qt"][comps[0].tq]).round(), 0, 255).astype(
         np.uint8

@@ -316,22 +316,43 @@ def train_ivf_centroids_local(
     same vec_id sort, the same Lloyd loop — so a SQL oracle can embed
     the EXACT trained centroids as float64 literals and hash-check the
     IVF operators the way ``_lsh_pairs_sql`` hash-checks sign-LSH
-    (r3 verdict #4). A pytest pins local == distributed bit-equality."""
-    import pyarrow as pa
+    (r3 verdict #4). A pytest pins local == distributed bit-equality.
+
+    Results are memoized per (path, k, seed, iters) — oracle_sql()
+    builds its dict eagerly and repeated calls would otherwise retrain
+    both IVF models (10 Lloyd iterations each) per lookup. The sample
+    filter runs PER BATCH on a streaming scan, never materializing the
+    full table on the driver (the distributed twin filters in _samp)."""
+    key = (parquet_path, n_centroids, seed, iters)
+    hit = _LOCAL_CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
     import pyarrow.dataset as pads
 
     ds = pads.dataset(parquet_path)
     n_total = max(ds.count_rows(), 1)
     frac = min(1.0, (n_centroids * 64) / n_total)
-    t = ds.to_table(columns=["vec_id", "embedding"])
+    thresh = None
     if frac < 1.0:
         thresh = np.uint64(int(frac * float(2**63 - 1))) * np.uint64(2)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = _mix64(ids.view(np.uint64), seed) <= thresh
-        t = t.filter(pa.array(keep))
-    sample = t.to_pandas().sort_values("vec_id")
+    frames = []
+    for b in ds.to_batches(columns=["vec_id", "embedding"]):
+        df = b.to_pandas()
+        if thresh is not None:
+            ids = df["vec_id"].to_numpy(np.int64)
+            df = df[_mix64(ids.view(np.uint64), seed) <= thresh]
+        if len(df):
+            frames.append(df)
+    import pandas as pd
+
+    sample = pd.concat(frames, ignore_index=True).sort_values("vec_id")
     x = _normalize(_stack(sample["embedding"]))
-    return _kmeans_spherical(x, n_centroids, seed, iters)
+    out = _kmeans_spherical(x, n_centroids, seed, iters)
+    _LOCAL_CENTROID_CACHE[key] = out
+    return out
+
+
+_LOCAL_CENTROID_CACHE: dict = {}
 
 
 def ivf_pairs(

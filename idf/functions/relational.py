@@ -165,7 +165,18 @@ def sessionize(
     pruned = ds.select_columns([user_col, time_col, order_col])
 
     if salt == "auto":
-        est = estimate_max_key_rows(pruned, user_col)
+        # metadata pre-gate (r4 review): a dataset whose TOTAL estimated
+        # rows can't reach the per-key threshold can't contain a hot key
+        # — skip the probe's full streaming pass entirely. ~40 bytes per
+        # (user_id, ts, event_id) row is a deliberate underestimate so
+        # the gate only skips when the probe provably can't trigger.
+        from idf.ops import _estimate_bytes
+
+        est_bytes = _estimate_bytes(pruned)
+        if est_bytes is not None and est_bytes < hot_rows_threshold * 40:
+            est = 0
+        else:
+            est = estimate_max_key_rows(pruned, user_col)
         SESSIONIZE_STATS["est_max_user_rows"] = est
         if est > hot_rows_threshold:
             # salt period must be >= gap for fragment maximality

@@ -196,9 +196,26 @@ class PrecomputedHasher:
         fmt_ok = pc.fill_null(fmt_ok, False).combine_chunks().to_numpy(zero_copy_only=False)
         w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-        meta_ok = (w > 0) & (h > 0)
+        # a NULL phash is 'undecodable' no matter what w/h claim: the
+        # null-padded to_numpy comes back float64 NaN and astype(int64)
+        # silently makes INT64_MIN — without this guard every null-phash
+        # row would share that garbage hash with status 'ok' and the
+        # exact collapse would merge them into one bogus mega-cluster
+        ph_null = (
+            pc.is_null(batch["phash"]).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        meta_ok = (w > 0) & (h > 0) & ~ph_null
         ok = fmt_ok & meta_ok
-        phash = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64).copy()
+        # fill nulls IN ARROW before to_numpy: one null anywhere makes
+        # to_numpy return float64 for the whole column, silently rounding
+        # every hash above 2^53 — int64-exact only via the filled cast
+        phash = (
+            pc.fill_null(batch["phash"], 0)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .copy()
+        )
         phash[~ok] = 0
         pixels = np.where(ok, w * h, np.int64(-1))
         has_bytes = "bytes" in batch.column_names
@@ -652,8 +669,18 @@ def verify_precomputed_sample(images_path: str, cfg) -> dict:
             fmt_ok = pc.fill_null(fmt_ok, False).combine_chunks().to_numpy(zero_copy_only=False)
             w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
             h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-            eligible = fmt_ok & (w > 0) & (h > 0)
-            exp = t["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ph_null = pc.is_null(t["phash"]).combine_chunks().to_numpy(zero_copy_only=False)
+            # mirror the main scan: null phash = outside the trust
+            # contract (it lands skip:decode there), not a mismatch here.
+            # fill_null BEFORE to_numpy — one null makes to_numpy float64
+            # for the whole column, rounding hashes above 2^53
+            eligible = fmt_ok & (w > 0) & (h > 0) & ~ph_null
+            exp = (
+                pc.fill_null(t["phash"], 0)
+                .cast(pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
             for lo in range(0, len(t), batch_rows):
                 sub = t.slice(lo, batch_rows)
                 dec = hasher(sub)

@@ -95,6 +95,12 @@ class RunManifest:
             if coalesce is not None:
                 ds = ds.repartition(coalesce)
             ds.write_parquet(tmp)
+            # a ZERO-row dataset writes no files and no directory at all
+            # (Ray's parquet sink: "0 rows and 0.0B written"), so the
+            # atomic rename below would crash — an empty stage (e.g. a
+            # fully-unique corpus yields zero candidate edges) must
+            # commit as an empty directory, not fail the pipeline
+            os.makedirs(tmp, exist_ok=True)
         if os.path.exists(out):
             shutil.rmtree(out)
         os.replace(tmp, out)

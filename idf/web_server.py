@@ -145,19 +145,27 @@ class DedupServer:
     #: not a materialization: the handler streams batches and stops.
     DEFAULT_PAGE = 50_000
 
-    def _stage_rows(self, stage: str, limit: int | None = None, offset: int = 0) -> list[dict]:
+    def _stage_rows(
+        self, stage: str, limit: int | None = None, offset: int = 0
+    ) -> tuple[list[dict], bool]:
         """Paged stage read (r3 verdict #5): stream ``iter_batches`` and
         stop as soon as the page is full — the driver never holds more
         than ``offset + limit`` rows, where the old ``to_pandas()`` held
         the entire stage per request (the reference loads the whole CSV,
-        WebServer.java:289-328 — faithful but wrong at our scale)."""
+        WebServer.java:289-328 — faithful but wrong at our scale).
+
+        Returns (rows, truncated): the handler surfaces ``truncated`` as
+        an ``X-Truncated`` header so a no-limit client can DETECT the
+        DEFAULT_PAGE cap instead of mistaking a capped array for the
+        whole plan (r4 review). Detection reads one row past the page."""
         if self.run_dir is None:
-            return []
+            return [], False
         from idf.pipelines.dedup import read_stage
 
         limit = self.DEFAULT_PAGE if limit is None else max(0, limit)
         out: list[dict] = []
         seen = 0
+        truncated = False
         for b in read_stage(self.run_dir, stage).iter_batches(
             batch_size=4096, batch_format="pyarrow"
         ):
@@ -166,15 +174,17 @@ class DedupServer:
                 sl = b.slice(max(0, offset - seen))
                 take = limit - len(out)
                 out.extend(sl.slice(0, take).to_pylist())
+                if len(sl) > take:
+                    truncated = True
             seen += n
-            if len(out) >= limit:
+            if truncated:
                 break
-        return out
+        return out, truncated
 
-    def clusters(self, limit: int | None = None, offset: int = 0) -> list[dict]:
+    def clusters(self, limit: int | None = None, offset: int = 0) -> tuple[list[dict], bool]:
         return self._stage_rows("clusters", limit, offset)
 
-    def plan(self, limit: int | None = None, offset: int = 0) -> list[dict]:
+    def plan(self, limit: int | None = None, offset: int = 0) -> tuple[list[dict], bool]:
         return self._stage_rows("plan", limit, offset)
 
     def update_plan(self, updates: list[dict]) -> None:
@@ -197,16 +207,31 @@ class DedupServer:
         man.replace_stage("plan", lambda: new_plan)
 
     def image(self, image_id: str) -> tuple[bytes, str] | None:
-        from idf.stages.hash_stage import _is_loose_file_dir, read_images
-        from idf.stages.web import fetch_images, fetch_images_pruned
+        from idf.stages.hash_stage import _is_loose_file_dir
+        from idf.stages.web import fetch_images_pruned
 
         if self.table_path is None:
             return None
         if _is_loose_file_dir(self.table_path):
             # /api/process accepts the reference's loose-file directory
-            # input (the 'directory' query alias); there is no parquet
-            # to push the id filter into — broadcast semi-join instead
-            ds = fetch_images(read_images(self.table_path), [image_id])
+            # input (the 'directory' query alias). Ids ARE root-relative
+            # paths (read_images_dir contract), so serve the single file
+            # directly — the previous broadcast semi-join re-walked and
+            # re-read the ENTIRE directory per thumbnail request (a
+            # 50-tile cluster page = 50 full-corpus scans). Containment
+            # check first: a crafted id like ../../etc/passwd must not
+            # escape the table root.
+            from idf.stages.web import media_type_for
+
+            root = os.path.realpath(self.table_path)
+            target = os.path.realpath(os.path.join(root, image_id))
+            if target != root and not target.startswith(root + os.sep):
+                return None
+            if not os.path.isfile(target):
+                return None
+            with open(target, "rb") as f:
+                data = f.read()
+            return data, media_type_for(os.path.splitext(target)[1].lstrip("."))
         else:
             # read-side id pushdown: a page load touches O(1) row
             # groups, not the whole bytes column
@@ -234,13 +259,24 @@ def _make_handler(srv: DedupServer):
         def log_message(self, *a):  # quiet test output
             pass
 
-        def _json(self, obj, code=200):
+        def _json(self, obj, code=200, headers: dict | None = None):
             body = json.dumps(obj, default=str).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
+
+        @staticmethod
+        def _page_headers(rows, truncated: bool, offset: int) -> dict:
+            # body stays a bare array (backward compatible); truncation
+            # is detectable via headers instead of being silent
+            return {
+                "X-Truncated": "true" if truncated else "false",
+                "X-Next-Offset": str(offset + len(rows)),
+            }
 
         def _text(self, text: str, code=200):
             body = text.encode()
@@ -278,9 +314,13 @@ def _make_handler(srv: DedupServer):
                 else:
                     self._json(job.to_dict())
             elif u.path == "/api/clusters":
-                self._json(srv.clusters(*self._page_args(q)))
+                limit, offset = self._page_args(q)
+                rows, trunc = srv.clusters(limit, offset)
+                self._json(rows, headers=self._page_headers(rows, trunc, offset))
             elif u.path == "/api/plan":
-                self._json(srv.plan(*self._page_args(q)))
+                limit, offset = self._page_args(q)
+                rows, trunc = srv.plan(limit, offset)
+                self._json(rows, headers=self._page_headers(rows, trunc, offset))
             elif u.path == "/api/image":
                 image_id = (q.get("id") or [""])[0]
                 if not image_id:

@@ -486,3 +486,42 @@ def test_unfused_hash_stage_matches_fused(ray_session, small_images_table):
     import pandas as pd
 
     pd.testing.assert_frame_equal(fused, unfused[fused.columns])
+
+
+def test_zero_edge_corpus_completes(ray_session, tmp_path):
+    """Regression (r4): a fully-unique corpus yields ZERO candidate
+    edges; Ray's parquet sink writes no directory for a zero-row
+    dataset, which crashed the manifest's atomic tmp->out rename
+    ('edges_band.tmp -> edges_band: No such file or directory') —
+    discovered live through the web UI on a 2-file directory input.
+    The pipeline must commit empty stages and finish with empty
+    clusters/plan (no dups => nothing to do)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from idf.codecs import encode
+    from idf.config import DedupConfig
+    from idf.pipelines.dedup import read_stage, run_dedup
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(2):  # two unrelated images: no pair within any radius
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        rows.append(
+            {
+                "image_id": f"x{i}",
+                "bytes": encode(img, "png"),
+                "w": 64,
+                "h": 64,
+                "fmt": "png",
+                "caption": f"caption {i}",
+                "phash": 0,
+            }
+        )
+    src = str(tmp_path / "unique.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    run_dir = str(tmp_path / "run")
+    run_dedup(src, run_dir, DedupConfig(), resume=False, do_apply=True)
+    assert len(read_stage(run_dir, "clusters").to_pandas()) == 0
+    assert len(read_stage(run_dir, "plan").to_pandas()) == 0

@@ -289,3 +289,44 @@ def test_verify_fraction_requires_precomputed_flag():
 
     with pytest.raises(SystemExit, match="precomputed-phash"):
         main(["run", "/tmp/x.parquet", "/tmp/y", "--verify-fraction", "0.5"])
+
+
+def test_null_phash_rows_are_skip_not_garbage(ray_session, sized_images_table, tmp_path):
+    """Regression (r4 review): a NULL phash round-trips through numpy as
+    NaN -> INT64_MIN, so null-phash rows with valid w/h all shared one
+    garbage hash with status 'ok' and collapsed into a single bogus
+    mega-cluster. They must come out status skip:decode with phash 0 —
+    and the standalone verify must treat them as outside the trust
+    contract, not as mismatches."""
+    from idf.config import DedupConfig
+    from idf.stages.hash_stage import PrecomputedHasher, verify_precomputed_sample
+
+    t = pq.read_table(sized_images_table)
+    ph = t["phash"].to_pylist()
+    null_idx = [i for i, w in enumerate(t["w"].to_pylist()) if w and w > 0][:4]
+    for i in null_idx:
+        ph[i] = None
+    t = t.set_column(t.schema.get_field_index("phash"), "phash", pa.array(ph, pa.int64()))
+
+    out = PrecomputedHasher(verify_fraction=0.0)(t)
+    status = out["status"].to_pylist()
+    hashes = out["phash"].to_pylist()
+    for i in null_idx:
+        assert status[i] == "skip:decode"
+        assert hashes[i] == 0
+    # no two null-phash rows share a fake 'ok' hash
+    assert all(status[i] != "ok" for i in null_idx)
+    # and the OTHER rows' hashes stay bit-exact: one null in the column
+    # makes a naive to_numpy go float64, rounding every hash above 2^53
+    orig = pq.read_table(sized_images_table)["phash"].to_pylist()
+    for i, (s, hv) in enumerate(zip(status, hashes)):
+        if s == "ok":
+            assert hv == orig[i], f"row {i} hash corrupted by null-column round-trip"
+
+    src = str(tmp_path / "nullph.parquet")
+    pq.write_table(t, src)
+    vr = verify_precomputed_sample(
+        src, DedupConfig(use_precomputed_phash=True, phash_verify_fraction=1.0)
+    )
+    assert vr["phash_verify_mismatch"] == 0  # nulls are not mismatches
+    assert vr["phash_verified"] == sum(s == "ok" for s in status)
