@@ -345,6 +345,14 @@ def train_ivf_centroids_local(
             frames.append(df)
     import pandas as pd
 
+    if not frames:
+        # empty table / sample filter dropped every batch: the old
+        # to_table path produced an empty frame here, pd.concat raises —
+        # fail with the actual problem instead (r4 advice)
+        raise ValueError(
+            f"train_ivf_centroids_local: no embedding rows sampled from "
+            f"{parquet_path!r} (empty table?) — cannot train {n_centroids} centroids"
+        )
     sample = pd.concat(frames, ignore_index=True).sort_values("vec_id")
     x = _normalize(_stack(sample["embedding"]))
     out = _kmeans_spherical(x, n_centroids, seed, iters)

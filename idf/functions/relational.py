@@ -69,7 +69,7 @@ def window_agg(
 # Which route the last sessionize() in this process took — observable
 # from tests (the auto gate must be provably engaged, not assumed),
 # mirroring ops.EXCHANGE_STATS.
-SESSIONIZE_STATS = {"route": None, "est_max_user_rows": None}
+SESSIONIZE_STATS = {"route": None, "est_max_user_rows": None, "gate": None}
 
 
 def estimate_max_key_rows(ds: rd.Dataset, key_col: str, topk: int = 8) -> int:
@@ -162,21 +162,28 @@ def sessionize(
         out["n_events"] = out["n_events"].astype(np.int64)
         return out
 
+    # metadata must be read PRE-projection: select_columns drops Ray's
+    # inferred num_rows/size_bytes (measured on 2.49 — infer_metadata
+    # returns all-None after a Project), which made the r4 bytes-based
+    # gate dead code and re-ran the probe on every call (the r4
+    # events_sessions 0.71→0.97 s regression; verdict "wrong" #2).
+    from idf.ops import _estimate_rows
+
+    est_rows_total = _estimate_rows(ds) if salt == "auto" else None
     pruned = ds.select_columns([user_col, time_col, order_col])
 
     if salt == "auto":
-        # metadata pre-gate (r4 review): a dataset whose TOTAL estimated
-        # rows can't reach the per-key threshold can't contain a hot key
-        # — skip the probe's full streaming pass entirely. ~40 bytes per
-        # (user_id, ts, event_id) row is a deliberate underestimate so
-        # the gate only skips when the probe provably can't trigger.
-        from idf.ops import _estimate_bytes
-
-        est_bytes = _estimate_bytes(pruned)
-        if est_bytes is not None and est_bytes < hot_rows_threshold * 40:
+        # metadata pre-gate: no single key can hold more rows than the
+        # whole dataset, so a known total row count <= threshold proves
+        # the probe can't trigger — skip its streaming pass entirely.
+        # Row counts, not bytes: a byte heuristic needs a per-row width
+        # guess that r4's review showed can be wrong by 1.7x.
+        if est_rows_total is not None and est_rows_total <= hot_rows_threshold:
             est = 0
+            SESSIONIZE_STATS["gate"] = "metadata"
         else:
             est = estimate_max_key_rows(pruned, user_col)
+            SESSIONIZE_STATS["gate"] = "probe"
         SESSIONIZE_STATS["est_max_user_rows"] = est
         if est > hot_rows_threshold:
             # salt period must be >= gap for fragment maximality
@@ -185,6 +192,7 @@ def sessionize(
             salt = None
     else:
         SESSIONIZE_STATS["est_max_user_rows"] = None
+        SESSIONIZE_STATS["gate"] = "pinned"
     SESSIONIZE_STATS["route"] = "unsalted" if salt is None else "salted"
 
     if salt is None:

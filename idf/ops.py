@@ -89,6 +89,18 @@ def _estimate_bytes(ds: rd.Dataset):
         return None
 
 
+def _estimate_rows(ds: rd.Dataset):
+    """Metadata-only ROW-count estimate, or None — same contract as
+    :func:`_estimate_bytes`. Row counts are the right currency for
+    per-key-rows gates (a projection changes bytes/row but not rows);
+    note Ray drops this metadata after ``select_columns``, so callers
+    must probe the PRE-projection dataset."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().num_rows
+    except Exception:
+        return None
+
+
 def exchange_apply(
     ds: rd.Dataset,
     key: str | list[str],

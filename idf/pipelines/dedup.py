@@ -101,7 +101,18 @@ def run_dedup(
                 except Exception:
                     bytes_free = False
             prev = man.state["stages"].get("hashes", {}).get("metrics") or {}
-            if bytes_free and prev.get("phash_verified", 0) > 0:
+            # a recorded result is only reusable if it sampled AT LEAST
+            # this run's fraction: resuming with a raised
+            # --verify-fraction (e.g. 1.0 after 0.01) must re-verify at
+            # the new rate, not silently keep the old small sample
+            # (r4 advice). Older manifests without the recorded fraction
+            # are treated as fraction-unknown -> re-verify.
+            prev_frac = prev.get("phash_verify_fraction_requested", -1.0)
+            if (
+                bytes_free
+                and prev.get("phash_verified", 0) > 0
+                and prev_frac >= cfg.phash_verify_fraction
+            ):
                 # resumed run: the standalone pass already paid its
                 # sampled decode on a previous invocation — reuse the
                 # manifest-recorded result instead of re-decoding
@@ -120,6 +131,7 @@ def run_dedup(
                 "phash_verified": sampled,
                 "phash_verify_mismatch": mismatched,
                 "phash_verified_fraction": (sampled / n_ok) if n_ok else 0.0,
+                "phash_verify_fraction_requested": cfg.phash_verify_fraction,
             },
         )
         if mismatched > cfg.phash_verify_max_mismatch:

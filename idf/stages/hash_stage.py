@@ -227,8 +227,18 @@ class PrecomputedHasher:
             # bytes-free scan (table ships a size column): the 100-TB
             # shape — the main pass never reads the bytes column at all;
             # the verify sample's bytes come from a separate id-pushdown
-            # pruned read (verify_precomputed_sample)
-            sizes = batch["size"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # pruned read (verify_precomputed_sample). fill nulls IN
+            # ARROW first (same NaN round-trip hazard as phash above:
+            # one null makes to_numpy float64 and astype(int64) turns
+            # status-ok rows into INT64_MIN); -1 is the established
+            # unknown-metadata penalty (A4), so a null-size row keeps
+            # its valid phash but loses keeper-election tiebreaks
+            sizes = (
+                pc.fill_null(batch["size"], -1)
+                .cast(pa.int64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
         sizes = np.where(ok, sizes, np.int64(-1))
         verify = np.zeros(n, dtype=np.int8)
         if has_bytes and self.verify_fraction > 0.0 and ok.any():
@@ -269,6 +279,7 @@ def _make_hasher(cfg: DedupConfig):
             cfg.algo,
             exif_from_bytes=cfg.exif_from_bytes,
             verify_fraction=cfg.phash_verify_fraction,
+            seed=cfg.seed,
         )
     return DecodeHasher(cfg.algo, exif_from_bytes=cfg.exif_from_bytes)
 
@@ -548,7 +559,11 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
     exif_bytes = cfg.exif_from_bytes
     use_pre = cfg.use_precomputed_phash
     verify_frac = cfg.phash_verify_fraction
-    hasher_key = (algo, exif_bytes, use_pre, verify_frac)
+    verify_seed = cfg.seed
+    # the seed MUST be part of the cache key: two configs differing only
+    # in seed would otherwise share one cached PrecomputedHasher and
+    # silently sample the same verify rows (r4 verdict #5)
+    hasher_key = (algo, exif_bytes, use_pre, verify_frac, verify_seed)
 
     def read_and_hash(batch: pa.Table):
         import pyarrow.parquet as pq
@@ -557,7 +572,10 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
         if hasher is None:
             if use_pre:
                 hasher = PrecomputedHasher(
-                    algo, exif_from_bytes=exif_bytes, verify_fraction=verify_frac
+                    algo,
+                    exif_from_bytes=exif_bytes,
+                    verify_fraction=verify_frac,
+                    seed=verify_seed,
                 )
             else:
                 hasher = DecodeHasher(algo, exif_from_bytes=exif_bytes)

