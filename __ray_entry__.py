@@ -120,9 +120,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return keep.union(quar)
 
     def img_thumbs(sf):
-        """Multimodal resize stage (rows-only: SQL cannot decode): real
-        decode -> EXIF normalize -> bilinear downscale -> PNG encode via
-        the in-repo codecs; geometry + determinism gated in pytest."""
+        """Multimodal resize stage. r5 (r4 verdict #8): the GEOMETRY
+        projection (image_id, w, h, status) is SQL-derivable — the synth
+        table's w/h are real decoded dims (synth._row), and the resize
+        arithmetic (scale=32/max, banker's rounding, max(1,..) floor) is
+        exactly round_even in DuckDB — so this query is hash-checked.
+        The PNG bytes themselves stay pytest-gated (decode round-trip in
+        test_media): SQL cannot encode."""
         import hashlib
 
         import pyarrow as pa
@@ -144,21 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _page, batch_format="pyarrow"
         )
         thumbs = image_thumbnails(images, max_side=32)
-        return thumbs.map_batches(
-            lambda t: pa.table(
-                {
-                    "image_id": t["image_id"],
-                    "w": t["w"],
-                    "h": t["h"],
-                    "n_bytes": pa.array(
-                        [len(b) if b is not None else 0 for b in t["thumb"].to_pylist()],
-                        pa.int64(),
-                    ),
-                    "status": t["status"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        return thumbs.select_columns(["image_id", "w", "h", "status"])
 
     def __media_audio():
         import pyarrow as pa
@@ -595,6 +585,32 @@ def img_oracle_sql(sf: str) -> dict[str, str]:
                    md5(hex(bytes)) AS content_md5
             FROM read_parquet('{imgs}/*.parquet')
             WHERE substr(md5(image_id), 32, 1) = '0'
+        """,
+        # thumbnail GEOMETRY (r4 verdict #8): the synth table's w/h are
+        # the REAL decoded dims (synth._row computes them by decoding,
+        # -1 on undecodable rows), so decode success and the max_side-32
+        # bilinear resize arithmetic are both SQL-derivable. round_even
+        # replicates Python round()'s banker's rounding bit-for-bit on
+        # the same float64 expression h*(32.0/max(w,h)).
+        "img_thumbs": f"""
+            WITH page AS (
+              SELECT image_id, w, h, (w > 0 AND h > 0) AS ok
+              FROM read_parquet('{imgs}/*.parquet')
+              WHERE substr(md5(image_id), 32, 1) IN ('0', '1')
+            )
+            SELECT image_id,
+                   CASE WHEN NOT ok THEN 0
+                        WHEN greatest(w, h) <= 32 THEN w
+                        ELSE greatest(1, round_even(
+                          CAST(w AS DOUBLE) * (32.0 / CAST(greatest(w, h) AS DOUBLE)), 0))
+                   END::INTEGER AS w,
+                   CASE WHEN NOT ok THEN 0
+                        WHEN greatest(w, h) <= 32 THEN h
+                        ELSE greatest(1, round_even(
+                          CAST(h AS DOUBLE) * (32.0 / CAST(greatest(w, h) AS DOUBLE)), 0))
+                   END::INTEGER AS h,
+                   CASE WHEN ok THEN 'ok' ELSE 'skip' END AS status
+            FROM page
         """,
     }
 

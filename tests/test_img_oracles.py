@@ -33,3 +33,17 @@ def test_img_oracle(run, name):
     got = e.queries()[name]("/root/testdata/sf0.001").to_pandas()
     want = duckdb.connect().execute(sql).df()
     _cmp(got, want)
+
+
+def test_img_thumbs_geometry_oracle(run):
+    """r4 verdict #8: the thumbnail op's geometry projection
+    (image_id, w, h, status) is hash-checkable in SQL — resize
+    arithmetic via round_even (banker's rounding, matching Python
+    round()), decode success via the synth table's real decoded w/h."""
+    import __ray_entry__ as e
+
+    sql = e.img_oracle_sql("0.001")["img_thumbs"]
+    got = e.queries()["img_thumbs"]("/root/testdata/sf0.001").to_pandas()
+    want = duckdb.connect().execute(sql).df()
+    assert (got["status"] == "ok").any() and (got["status"] == "skip").any()
+    _cmp(got, want)
