@@ -81,7 +81,18 @@ def run_bench() -> dict:
         run_dir = f"/tmp/idf_bench/run_sf{sf}_cpus{num_cpus}"
         shutil.rmtree(run_dir, ignore_errors=True)
         t0 = time.time()
-        run_dedup(images, run_dir, DedupConfig(), resume=False, do_apply=False)
+        # headline = FULL-DECODE throughput, pinned (r5): the config
+        # default is now 'auto' (precomputed when the table ships
+        # phash), which would silently change what images_per_sec
+        # measures; the trust-but-verify walls are recorded separately
+        # in BENCH/STAGES.md
+        run_dedup(
+            images,
+            run_dir,
+            DedupConfig(use_precomputed_phash=False),
+            resume=False,
+            do_apply=False,
+        )
         pipeline_sec = time.time() - t0
         queries["img_dedup_pipeline"] = round(pipeline_sec, 3)
     else:

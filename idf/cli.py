@@ -64,15 +64,23 @@ def _cfg(args) -> "object":
     elif getattr(args, "threshold", None) is not None:
         # reference web-UI knob (Commands.java:406-409): 0.95 -> 3
         kw["radius"] = threshold_to_radius(args.threshold)
+    if getattr(args, "precomputed_phash", False) and getattr(args, "full_decode", False):
+        raise SystemExit("--precomputed-phash and --full-decode are mutually exclusive")
     if getattr(args, "precomputed_phash", False):
         kw["use_precomputed_phash"] = True
         if getattr(args, "verify_fraction", None) is not None:
             kw["phash_verify_fraction"] = args.verify_fraction
+    elif getattr(args, "full_decode", False):
+        kw["use_precomputed_phash"] = False
+        if getattr(args, "verify_fraction", None) is not None:
+            raise SystemExit(
+                "--verify-fraction only applies with --precomputed-phash "
+                "(the full-decode path verifies every row by definition)"
+            )
     elif getattr(args, "verify_fraction", None) is not None:
-        raise SystemExit(
-            "--verify-fraction only applies with --precomputed-phash "
-            "(the full-decode path verifies every row by definition)"
-        )
+        # 'auto' default: an explicit fraction is honored when auto
+        # resolves to the precomputed path (harmless when it doesn't)
+        kw["phash_verify_fraction"] = args.verify_fraction
     return DedupConfig(**kw)
 
 
@@ -259,7 +267,14 @@ def main(argv=None) -> int:
             "--precomputed-phash",
             action="store_true",
             help="trust the table's phash column; decode only a sampled "
-            "fidelity gate (bytes-free scan when the table has a size column)",
+            "fidelity gate (bytes-free scan when the table has a size column). "
+            "Default 'auto': on when the table ships w/h/phash metadata",
+        )
+        sp.add_argument(
+            "--full-decode",
+            action="store_true",
+            help="pin the always-decode path even when the table ships a "
+            "phash column (overrides the 'auto' default)",
         )
         sp.add_argument(
             "--verify-fraction",

@@ -62,9 +62,14 @@ class DedupConfig:
     # verify the column (stages/hash_stage.py:
     # precomputed_hash_stage / verify_precomputed_sample). A 100-TB
     # deployment never re-decodes a trusted corpus; the sampled decode
-    # is the fidelity gate. OFF by default: the reference always
-    # decodes, and the gate below fails the run on any mismatch.
-    use_precomputed_phash: bool = False
+    # is the fidelity gate. Default "auto" (r4 verdict #9): ON when the
+    # source table ships the (w, h, phash) metadata columns AND algo is
+    # phash; OFF for loose-file dirs, metadata-less tables and non-phash
+    # algos (resolved once per run in hash_stage.resolve_precomputed_cfg;
+    # explicit True keeps the hard validation errors, explicit False
+    # pins the reference's always-decode behavior). The verify gate is
+    # mandatory in every precomputed run, auto-resolved or pinned.
+    use_precomputed_phash: bool | str = "auto"
     phash_verify_fraction: float = 0.01
     phash_verify_max_mismatch: int = 0
     # decode stage execution (see stages/hash_stage.py: tasks by default)

@@ -46,6 +46,12 @@ def run_dedup(
     do_apply: bool = True,
 ) -> RunManifest:
     cfg = cfg or DedupConfig()
+    # resolve 'auto' ONCE so every downstream gate sees a bool; record
+    # the decision in the manifest for observability
+    from idf.stages.hash_stage import resolve_precomputed_cfg
+
+    requested_mode = cfg.use_precomputed_phash
+    cfg = resolve_precomputed_cfg(images_path, cfg)
     man = RunManifest(run_dir, resume=resume)
 
     # 1. decode + hash, FUSED with the read: each task streams its own
@@ -66,12 +72,18 @@ def run_dedup(
     vc = pc.value_counts(
         pads.dataset(hashes_dir).to_table(columns=["status"])["status"].combine_chunks()
     )
+    # actual mode of the COMMITTED stage (a resumed run may have been
+    # produced under a different pin than this invocation's resolution):
+    # only the precomputed path emits a verify column
+    stage_precomputed = "verify" in pads.dataset(hashes_dir).schema.names
     man.record_metrics(
         "hashes",
         {
             "status_counts": {
                 s.as_py(): n.as_py() for s, n in zip(vc.field("values"), vc.field("counts"))
-            }
+            },
+            "hash_mode": ("precomputed" if stage_precomputed else "decode")
+            + ("(auto)" if requested_mode == "auto" else ""),
         },
     )
 
@@ -81,7 +93,7 @@ def run_dedup(
     # the int8 column) into the manifest and FAIL the run if the column
     # lied more than the configured tolerance. A poisoned hash column
     # must be a loud failed run, never silently-wrong clusters.
-    if cfg.use_precomputed_phash and "verify" in pads.dataset(hashes_dir).schema.names:
+    if cfg.use_precomputed_phash and stage_precomputed:
         vt = pads.dataset(hashes_dir).to_table(columns=["verify", "status"])
         v = vt["verify"].combine_chunks().to_numpy(zero_copy_only=False)
         n_ok = pc.sum(pc.equal(vt["status"], "ok")).as_py() or 0

@@ -272,6 +272,82 @@ class PrecomputedHasher:
 PRECOMPUTED_COLUMNS = ("w", "h", "phash")
 
 
+def resolve_precomputed_cfg(images_path: str, cfg: DedupConfig) -> DedupConfig:
+    """Resolve ``use_precomputed_phash='auto'`` (r4 verdict #9) to a
+    bool against the actual source: ON iff the table ships the
+    (w, h, phash) metadata columns AND the configured algo is phash
+    (the column's contract); OFF for loose-file directories (no
+    metadata exists) and on any schema-probe failure. Explicit
+    True/False pass through untouched — True keeps its hard validation
+    errors, False pins the reference's always-decode behavior. The
+    sampled-decode verify gate runs in every precomputed run either
+    way, so a catalog whose phash column lies fails loudly, not fast.
+
+    Schema presence alone is NOT trusted: users routinely fill
+    schema-required metadata columns with placeholders (phash=0,
+    w=-1) when they only have bytes — trusting those would cluster
+    every placeholder row together (phash 0 = exact dup) or skip the
+    whole corpus (w<=0 = undecodable convention). A one-row-group
+    probe of the metadata columns requires at least one PLAUSIBLE row
+    (w>0, h>0, phash!=0) before auto engages; anything else falls back
+    to the always-correct decode path. (phash==0 can be legitimate for
+    a pathological image, so this heuristic lives ONLY here in the
+    conservative router — never in the hasher's correctness rules.)"""
+    if cfg.use_precomputed_phash != "auto":
+        return cfg
+    import dataclasses
+
+    use = False
+    if cfg.algo == "phash":
+        p = images_path.rstrip("/")
+        if p.endswith(".lance"):
+            names = _lance_schema_names(images_path)
+            use = names is not None and all(c in names for c in PRECOMPUTED_COLUMNS)
+        elif _is_loose_file_dir(images_path):
+            use = False
+        else:
+            try:
+                import pyarrow.dataset as pads
+
+                dset = pads.dataset(images_path)
+                names = dset.schema.names
+                use = all(c in names for c in PRECOMPUTED_COLUMNS) and _metadata_plausible(
+                    dset
+                )
+            except Exception:
+                use = False
+    return dataclasses.replace(cfg, use_precomputed_phash=use)
+
+
+def _metadata_plausible(dset, probe_rows: int = 1024) -> bool:
+    """True iff a small head sample of (w, h, phash) contains at least
+    one plausible row — one metadata-width read of the first rows, so
+    the auto-probe costs microseconds, not a scan."""
+    t = dset.head(probe_rows, columns=list(PRECOMPUTED_COLUMNS))
+    if len(t) == 0:
+        return False
+    import pyarrow.compute as pc
+
+    w = pc.fill_null(t["w"], -1)
+    h = pc.fill_null(t["h"], -1)
+    ph = pc.fill_null(t["phash"], 0)
+    good = pc.and_(
+        pc.and_(pc.greater(w, 0), pc.greater(h, 0)), pc.not_equal(ph, 0)
+    )
+    return bool(pc.any(good).as_py())
+
+
+def _lance_schema_names(path: str):
+    """Schema column names of a Lance dataset, or None when the lance
+    package (not in this container) is unavailable or the probe fails."""
+    try:
+        import lance  # type: ignore[import-not-found]
+
+        return list(lance.dataset(path).schema.names)
+    except Exception:
+        return None
+
+
 def _make_hasher(cfg: DedupConfig):
     """The per-config hasher callable both hash-stage paths share."""
     if cfg.use_precomputed_phash:
@@ -296,6 +372,17 @@ def hash_stage(images: rd.Dataset, cfg: DedupConfig) -> rd.Dataset:
     genuinely heavy-setup stage (model weights), set
     ``cfg.decode_actor_pool=True`` to get the classic pool.
     """
+    if cfg.use_precomputed_phash == "auto":
+        # Dataset-input callers (lance route, tests): resolve against the
+        # dataset's own schema — metadata-cheap for read-rooted plans
+        import dataclasses
+
+        try:
+            names = images.schema().names
+        except Exception:
+            names = []
+        use = cfg.algo == "phash" and all(c in names for c in PRECOMPUTED_COLUMNS)
+        cfg = dataclasses.replace(cfg, use_precomputed_phash=use)
     if getattr(cfg, "decode_actor_pool", False) and not cfg.use_precomputed_phash:
         conc = cfg.decode_concurrency or available_cpus()
         return images.map_batches(
@@ -506,6 +593,7 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
     table. On a multi-node cluster the same pattern holds with shared
     storage (S3/Lance): every task streams its own fragment.
     """
+    cfg = resolve_precomputed_cfg(images_path, cfg)
     if images_path.rstrip("/").endswith(".lance"):
         # the fragment planner below is parquet-specific; Lance sources
         # go through read_lance (fragment-parallel at the storage layer)

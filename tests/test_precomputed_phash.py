@@ -38,7 +38,13 @@ def _partition(run_dir):
 def both_runs(ray_session, small_images_table, tmp_path_factory):
     dec_dir = str(tmp_path_factory.mktemp("run_decode"))
     pre_dir = str(tmp_path_factory.mktemp("run_pre"))
-    run_dedup(small_images_table, dec_dir, DedupConfig(), resume=False, do_apply=False)
+    run_dedup(
+        small_images_table,
+        dec_dir,
+        DedupConfig(use_precomputed_phash=False),  # pin: this IS the decode leg
+        resume=False,
+        do_apply=False,
+    )
     man = run_dedup(
         small_images_table,
         pre_dir,
@@ -284,11 +290,17 @@ def test_bytes_free_group_sampling_not_all_or_nothing(ray_session, sized_images_
     assert vr["phash_verify_mismatch"] == 0
 
 
-def test_verify_fraction_requires_precomputed_flag():
+def test_verify_fraction_rejected_with_full_decode():
     from idf.cli import main
 
     with pytest.raises(SystemExit, match="precomputed-phash"):
-        main(["run", "/tmp/x.parquet", "/tmp/y", "--verify-fraction", "0.5"])
+        main(
+            ["run", "/tmp/x.parquet", "/tmp/y", "--full-decode", "--verify-fraction", "0.5"]
+        )
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(
+            ["run", "/tmp/x.parquet", "/tmp/y", "--full-decode", "--precomputed-phash"]
+        )
 
 
 def test_null_phash_rows_are_skip_not_garbage(ray_session, sized_images_table, tmp_path):
@@ -434,3 +446,86 @@ def test_resume_with_raised_verify_fraction_reverifies(
     )
     m2 = man3.summary()["hashes"]["metrics"]
     assert m2["phash_verified"] == m1["phash_verified"]
+
+
+def test_auto_routes_by_schema(ray_session, small_images_table, sized_images_table, tmp_path):
+    """r4 verdict #9: use_precomputed_phash defaults to 'auto' — ON when
+    the table ships (w,h,phash), OFF for loose dirs, metadata-less
+    tables and non-phash algos; the verify gate stays mandatory."""
+    from idf.config import DedupConfig
+    from idf.stages.hash_stage import resolve_precomputed_cfg
+
+    assert DedupConfig().use_precomputed_phash == "auto"
+    # input_hint-shaped table -> precomputed
+    cfg = resolve_precomputed_cfg(small_images_table, DedupConfig())
+    assert cfg.use_precomputed_phash is True
+    # sized table -> precomputed (bytes-free engages downstream)
+    assert resolve_precomputed_cfg(sized_images_table, DedupConfig()).use_precomputed_phash
+    # non-phash algo cannot trust the phash column -> decode, no raise
+    cfg = resolve_precomputed_cfg(small_images_table, DedupConfig(algo="ahash"))
+    assert cfg.use_precomputed_phash is False
+    # loose-file directory -> decode
+    d = tmp_path / "loose"
+    d.mkdir()
+    (d / "a.jpg").write_bytes(b"\xff\xd8\xff\xe0junk")
+    assert resolve_precomputed_cfg(str(d), DedupConfig()).use_precomputed_phash is False
+    # table without the metadata columns -> decode
+    t = pq.read_table(small_images_table).drop_columns(["phash", "w", "h"])
+    p = str(tmp_path / "nometa.parquet")
+    pq.write_table(t, p)
+    assert resolve_precomputed_cfg(p, DedupConfig()).use_precomputed_phash is False
+    # explicit pins pass through
+    assert (
+        resolve_precomputed_cfg(p, DedupConfig(use_precomputed_phash=False)).use_precomputed_phash
+        is False
+    )
+    assert (
+        resolve_precomputed_cfg(
+            small_images_table, DedupConfig(use_precomputed_phash=True)
+        ).use_precomputed_phash
+        is True
+    )
+
+
+def test_auto_run_records_mode_and_gate(ray_session, small_images_table, tmp_path):
+    """A default-config run over an input_hint table takes the
+    precomputed path (manifest says so) AND pays the verify gate."""
+    man = run_dedup(
+        small_images_table,
+        str(tmp_path / "run"),
+        DedupConfig(phash_verify_fraction=0.25),
+        resume=False,
+        do_apply=False,
+    )
+    m = man.summary()["hashes"]["metrics"]
+    assert m["hash_mode"] == "precomputed(auto)"
+    assert m["phash_verified"] > 0
+    assert m["phash_verify_mismatch"] == 0
+
+
+def test_auto_distrusts_placeholder_metadata(ray_session, tmp_path):
+    """Schema presence is not enough: tables whose metadata columns are
+    placeholders (phash=0 / w=-1 — the 'I only have bytes' pattern)
+    must auto-route to decode, not be trusted."""
+    import numpy as np
+
+    from idf.codecs import encode
+    from idf.config import DedupConfig
+    from idf.stages.hash_stage import resolve_precomputed_cfg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    t = pa.table(
+        {
+            "image_id": pa.array(["a", "b"]),
+            "bytes": pa.array([encode(img, "png")] * 2, pa.binary()),
+            "w": pa.array([64, -1], pa.int32()),
+            "h": pa.array([64, -1], pa.int32()),
+            "fmt": pa.array(["png", "png"]),
+            "caption": pa.array(["", ""]),
+            "phash": pa.array([0, 0], pa.int64()),  # placeholder
+        }
+    )
+    p = str(tmp_path / "placeholder.parquet")
+    pq.write_table(t, p)
+    assert resolve_precomputed_cfg(p, DedupConfig()).use_precomputed_phash is False
