@@ -102,12 +102,18 @@ def run_dedup(
         if sampled == 0 and cfg.phash_verify_fraction > 0.0:
             # bytes-FREE scan (table ships a size column, so the main
             # pass read no bytes and could not verify in-batch): run the
-            # standalone row-group-aligned sampled-decode pass. Keyed on
-            # the MODE (parquet + size column), not on sampled==0 alone —
-            # a bytes-present Lance run whose tiny in-batch sample came
-            # up empty must NOT fall into the parquet-only verify pass.
+            # standalone sampled-decode pass — row-group-aligned for
+            # parquet, fragment-aligned for Lance (r4 verdict #1). Keyed
+            # on the MODE (size column present), not on sampled==0 alone
+            # — a bytes-present run whose tiny in-batch sample came up
+            # empty must NOT fall into the standalone verify pass.
+            is_lance = images_path.rstrip("/").endswith(".lance")
             bytes_free = False
-            if not images_path.rstrip("/").endswith(".lance"):
+            if is_lance:
+                from idf.stages.hash_stage import _lance_schema_names
+
+                bytes_free = "size" in (_lance_schema_names(images_path) or [])
+            else:
                 try:
                     bytes_free = "size" in pads.dataset(images_path).schema.names
                 except Exception:
@@ -132,9 +138,15 @@ def run_dedup(
                 sampled = prev["phash_verified"]
                 mismatched = prev["phash_verify_mismatch"]
             elif bytes_free:
-                from idf.stages.hash_stage import verify_precomputed_sample
+                from idf.stages.hash_stage import (
+                    verify_precomputed_sample,
+                    verify_precomputed_sample_lance,
+                )
 
-                vr = verify_precomputed_sample(images_path, cfg)
+                verifier = (
+                    verify_precomputed_sample_lance if is_lance else verify_precomputed_sample
+                )
+                vr = verifier(images_path, cfg)
                 sampled = vr["phash_verified"]
                 mismatched = vr["phash_verify_mismatch"]
         man.record_metrics(

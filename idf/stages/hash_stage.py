@@ -601,11 +601,15 @@ def fused_hash_stage(images_path: str, cfg: DedupConfig) -> rd.Dataset:
         cols = ["image_id", "bytes", "fmt", "caption"] + (
             list(PRECOMPUTED_COLUMNS) if cfg.use_precomputed_phash else []
         )
-        # NOTE: the bytes-free precomputed scan (size column present ->
-        # drop `bytes`, verify via verify_precomputed_sample) is parquet-
-        # only for now: the standalone verify pass needs an id-pushdown
-        # filtered read, which read_lance has never been exercised with
-        # in-sandbox. Lance inputs keep the bytes-present in-batch verify.
+        if cfg.use_precomputed_phash:
+            names = _lance_schema_names(images_path) or []
+            if "size" in names:
+                # bytes-FREE scan for Lance (r4 verdict #1): the main
+                # pass reads only metadata-width columns via read_lance's
+                # storage-level projection; verification moves to the
+                # fragment-aligned verify_precomputed_sample_lance pass
+                # (pipelines/dedup.py drives it off sampled==0 + mode)
+                cols = [c for c in cols if c != "bytes"] + ["size"]
         return hash_stage(read_images(images_path, columns=cols), cfg)
     if _is_loose_file_dir(images_path):
         # the reference's native input mode: a directory of image FILES
@@ -713,8 +717,6 @@ def verify_precomputed_sample(images_path: str, cfg) -> dict:
     if frac <= 0.0:
         return {"phash_verified": 0, "phash_verify_mismatch": 0}
 
-    from idf.functions.ann import _mix64
-
     dset = pads.dataset(images_path)
     has_orient = "orientation" in dset.schema.names
     units: list[tuple[str, int]] = []
@@ -734,17 +736,7 @@ def verify_precomputed_sample(images_path: str, cfg) -> dict:
     keys = np.array(
         [f"{os.path.relpath(p, root)}:{rg}" for p, rg in units], dtype=object
     )
-    import pandas as pd
-
-    if frac >= 1.0:
-        mask = np.ones(len(units), dtype=bool)
-    else:
-        # threshold only computed on this branch: at frac==1.0 the
-        # int(1.0*(2^63-1)) rounds up to 2^63 and *2 wraps uint64 to 0
-        thresh = np.uint64(int(frac * float(2**63 - 1))) * np.uint64(2)
-        mask = _mix64(pd.util.hash_array(keys), 42) <= thresh
-        if not mask.any():  # tiny tables: always verify at least one group
-            mask[int(_mix64(np.array([len(units)], np.uint64), 42)[0] % len(units))] = True
+    mask = _sample_unit_mask(keys, frac)
     chosen = [u for u, m in zip(units, mask) if m]
 
     algo, exif_bytes, batch_rows = cfg.algo, cfg.exif_from_bytes, cfg.decode_batch_size
@@ -755,8 +747,6 @@ def verify_precomputed_sample(images_path: str, cfg) -> dict:
         hasher = DecodeHasher(algo, exif_from_bytes=exif_bytes)
         n_v = 0
         n_m = 0
-        import pyarrow.compute as pc
-
         # the orientation column must ride along when the table has one:
         # DecodeHasher (and the in-batch verify) honor it, so omitting it
         # here would spuriously fail honest oriented corpora at the gate
@@ -765,38 +755,9 @@ def verify_precomputed_sample(images_path: str, cfg) -> dict:
         )
         for path, rg in zip(batch["path"].to_pylist(), batch["rg"].to_pylist()):
             t = pq.ParquetFile(path).read_row_group(rg, columns=cols)
-            # same eligibility rule as the in-batch verify: fmt accepted
-            # AND metadata marks the row decodable — rows the corpus
-            # honestly flags (corrupt probes get w<=0, alien formats get
-            # skip:fmt) are outside the trust contract, not mismatches
-            fmt_ok = pc.is_in(
-                pc.utf8_lower(pc.cast(t["fmt"], pa.string())), value_set=_FMT_SET
-            )
-            fmt_ok = pc.fill_null(fmt_ok, False).combine_chunks().to_numpy(zero_copy_only=False)
-            w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
-            h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ph_null = pc.is_null(t["phash"]).combine_chunks().to_numpy(zero_copy_only=False)
-            # mirror the main scan: null phash = outside the trust
-            # contract (it lands skip:decode there), not a mismatch here.
-            # fill_null BEFORE to_numpy — one null makes to_numpy float64
-            # for the whole column, rounding hashes above 2^53
-            eligible = fmt_ok & (w > 0) & (h > 0) & ~ph_null
-            exp = (
-                pc.fill_null(t["phash"], 0)
-                .cast(pa.int64())
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-            )
-            for lo in range(0, len(t), batch_rows):
-                sub = t.slice(lo, batch_rows)
-                dec = hasher(sub)
-                ok = dec["status"].to_numpy(zero_copy_only=False) == "ok"
-                got = dec["phash"].to_numpy(zero_copy_only=False)
-                m_ok = eligible[lo : lo + len(sub)]
-                e = exp[lo : lo + len(sub)]
-                n_v += int(m_ok.sum())
-                # mismatch: metadata said ok but decode failed, or hash differs
-                n_m += int((m_ok & (~ok | (got != e))).sum())
+            dv, dm = _verify_loaded_table(t, hasher, batch_rows)
+            n_v += dv
+            n_m += dm
         return pa.table({"verified": [n_v], "mismatched": [n_m]})
 
     work = rd.from_items([{"path": p, "rg": rg} for p, rg in chosen])
@@ -805,3 +766,142 @@ def verify_precomputed_sample(images_path: str, cfg) -> dict:
         "phash_verified": int(res["verified"].sum()),
         "phash_verify_mismatch": int(res["mismatched"].sum()),
     }
+
+
+def _verify_loaded_table(t: pa.Table, hasher, batch_rows: int) -> tuple[int, int]:
+    """Decode one loaded (bytes-carrying) table slice and compare its
+    hashes bit-exactly against the shipped phash column. Returns
+    (n_verified, n_mismatched). Shared by the parquet row-group verify
+    and the Lance fragment verify — ONE definition of the trust
+    contract.
+
+    Eligibility mirrors the in-batch verify: fmt accepted AND metadata
+    marks the row decodable — rows the corpus honestly flags (corrupt
+    probes get w<=0, alien formats skip:fmt, null phash) are outside
+    the trust contract, not mismatches."""
+    import pyarrow.compute as pc
+
+    fmt_ok = pc.is_in(pc.utf8_lower(pc.cast(t["fmt"], pa.string())), value_set=_FMT_SET)
+    fmt_ok = pc.fill_null(fmt_ok, False).combine_chunks().to_numpy(zero_copy_only=False)
+    w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ph_null = pc.is_null(t["phash"]).combine_chunks().to_numpy(zero_copy_only=False)
+    eligible = fmt_ok & (w > 0) & (h > 0) & ~ph_null
+    # fill_null BEFORE to_numpy — one null makes to_numpy float64 for
+    # the whole column, rounding hashes above 2^53
+    exp = (
+        pc.fill_null(t["phash"], 0)
+        .cast(pa.int64())
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+    )
+    n_v = 0
+    n_m = 0
+    for lo in range(0, len(t), batch_rows):
+        sub = t.slice(lo, batch_rows)
+        dec = hasher(sub)
+        ok = dec["status"].to_numpy(zero_copy_only=False) == "ok"
+        got = dec["phash"].to_numpy(zero_copy_only=False)
+        m_ok = eligible[lo : lo + len(sub)]
+        e = exp[lo : lo + len(sub)]
+        n_v += int(m_ok.sum())
+        # mismatch: metadata said ok but decode failed, or hash differs
+        n_m += int((m_ok & (~ok | (got != e))).sum())
+    return n_v, n_m
+
+
+def _sample_unit_mask(keys: np.ndarray, frac: float) -> np.ndarray:
+    """Deterministic splitmix64 unit selection shared by both verify
+    passes: each unit key selected with probability ``frac``; tiny
+    layouts always verify at least one unit."""
+    import pandas as pd
+
+    from idf.functions.ann import _mix64
+
+    if frac >= 1.0:
+        return np.ones(len(keys), dtype=bool)
+    # threshold only computed on this branch: at frac==1.0 the
+    # int(1.0*(2^63-1)) rounds up to 2^63 and *2 wraps uint64 to 0
+    thresh = np.uint64(int(frac * float(2**63 - 1))) * np.uint64(2)
+    mask = _mix64(pd.util.hash_array(keys), 42) <= thresh
+    if not mask.any():
+        mask[int(_mix64(np.array([len(keys)], np.uint64), 42)[0] % len(keys))] = True
+    return mask
+
+
+def verify_precomputed_sample_lance(images_path: str, cfg, dataset_factory=None) -> dict:
+    """Lance flavor of the bytes-free trust-but-verify pass (r4 verdict
+    #1 — the north rule names Lance as the storage format). Sampling is
+    FRAGMENT-aligned: Lance has no parquet row groups, its random-access
+    unit is the fragment, so each fragment is selected with probability
+    ``cfg.phash_verify_fraction`` via a splitmix64 hash of its fragment
+    id — deterministic per layout — and selected fragments are read IN
+    FULL (``LanceDataset.get_fragment(fid).to_table(columns=...)``, a
+    storage-level projected read that touches only that fragment's data
+    files) and decoded against their phash column. Expected byte
+    traffic = verify_fraction of the corpus, same contract as parquet.
+
+    One Ray task per sampled fragment; each task re-opens the dataset
+    by path (fragment handles never cross the wire — the open is cheap,
+    the read is fragment-local). ``dataset_factory`` is the injection
+    seam for the stub-module contract test; the default imports the
+    real ``lance`` wheel inside the task."""
+    frac = min(max(float(cfg.phash_verify_fraction), 0.0), 1.0)
+    if frac <= 0.0:
+        return {"phash_verified": 0, "phash_verify_mismatch": 0}
+
+    factory = dataset_factory or _open_lance_dataset
+    ds = factory(images_path)
+    has_orient = "orientation" in list(ds.schema.names)
+    frags = list(ds.get_fragments())
+    if not frags:
+        return {"phash_verified": 0, "phash_verify_mismatch": 0}
+    fids = [int(getattr(f, "fragment_id", i)) for i, f in enumerate(frags)]
+    keys = np.array([f"frag:{i}" for i in fids], dtype=object)
+    mask = _sample_unit_mask(keys, frac)
+    chosen = [i for i, m in zip(fids, mask) if m]
+
+    algo, exif_bytes, batch_rows = cfg.algo, cfg.exif_from_bytes, cfg.decode_batch_size
+    cols = ["image_id", "bytes", "fmt", "caption", "w", "h", "phash"] + (
+        ["orientation"] if has_orient else []
+    )
+
+    def _check(batch: pa.Table) -> pa.Table:
+        hasher = DecodeHasher(algo, exif_from_bytes=exif_bytes)
+        dsl = factory(images_path)
+        by_id = None
+        n_v = 0
+        n_m = 0
+        for fid in batch["fid"].to_pylist():
+            if hasattr(dsl, "get_fragment"):
+                fr = dsl.get_fragment(int(fid))
+            else:  # pragma: no cover - older lance without get_fragment
+                if by_id is None:
+                    by_id = {
+                        int(getattr(f, "fragment_id", i)): f
+                        for i, f in enumerate(dsl.get_fragments())
+                    }
+                fr = by_id[int(fid)]
+            t = fr.to_table(columns=cols)
+            dv, dm = _verify_loaded_table(t, hasher, batch_rows)
+            n_v += dv
+            n_m += dm
+        return pa.table({"verified": [n_v], "mismatched": [n_m]})
+
+    work = rd.from_items([{"fid": i} for i in chosen])
+    res = work.map_batches(_check, batch_format="pyarrow", batch_size=1).to_pandas()
+    return {
+        "phash_verified": int(res["verified"].sum()),
+        "phash_verify_mismatch": int(res["mismatched"].sum()),
+    }
+
+
+def _open_lance_dataset(path: str):
+    try:
+        import lance  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - wheel absent in-sandbox
+        raise ImportError(
+            "verifying a .lance table needs the `lance` wheel, which is not "
+            "installed; convert to parquet or install pylance"
+        ) from e
+    return lance.dataset(path)

@@ -529,3 +529,167 @@ def test_auto_distrusts_placeholder_metadata(ray_session, tmp_path):
     p = str(tmp_path / "placeholder.parquet")
     pq.write_table(t, p)
     assert resolve_precomputed_cfg(p, DedupConfig()).use_precomputed_phash is False
+
+
+# ----- Lance bytes-free trust-but-verify (r4 verdict #1) -----
+#
+# The lance wheel is absent in-sandbox (pip has no network; the vendoring
+# attempt is recorded in BENCH/BASELINE.md), so these contract tests run
+# the REAL engine code paths over idf.testing's parquet-backed fakes of
+# the exact public Lance API surface (dataset/schema/get_fragments/
+# get_fragment/to_table).
+
+
+def test_lance_fragment_verify_pass(ray_session, sized_images_table):
+    """verify_precomputed_sample_lance: fragment-aligned sampling, real
+    Ray tasks (the factory closure crosses to workers), full-fraction
+    verifies every eligible row, poisoned phash is counted."""
+    from idf.config import DedupConfig
+    from idf.stages.hash_stage import verify_precomputed_sample_lance
+    from idf.testing import FakeLanceDataset
+
+    path = sized_images_table
+    # 2 rows/fragment -> 9 fragments on the 17-row fixture, so the
+    # fractional leg below can select a strict subset
+    factory = lambda p: FakeLanceDataset(path, rows_per_fragment=2)  # noqa: E731
+
+    vr = verify_precomputed_sample_lance(
+        "/x.lance",
+        DedupConfig(use_precomputed_phash=True, phash_verify_fraction=1.0),
+        dataset_factory=factory,
+    )
+    t = pq.read_table(path)
+    n_eligible = sum(
+        1
+        for w, h, f, p in zip(
+            t["w"].to_pylist(), t["h"].to_pylist(), t["fmt"].to_pylist(), t["phash"].to_pylist()
+        )
+        if w and w > 0 and h and h > 0 and p is not None
+        and str(f).lower() in ("jpg", "jpeg", "png", "bmp")
+    )
+    assert vr["phash_verified"] == n_eligible
+    assert vr["phash_verify_mismatch"] == 0
+
+    # fractional sampling picks a strict fragment subset
+    vr = verify_precomputed_sample_lance(
+        "/x.lance",
+        DedupConfig(use_precomputed_phash=True, phash_verify_fraction=0.3),
+        dataset_factory=factory,
+    )
+    assert 0 < vr["phash_verified"] < n_eligible
+
+    # poisoned phash is a mismatch
+    ph = t["phash"].to_numpy(zero_copy_only=False).copy()
+    ok_idx = np.flatnonzero(t["w"].to_numpy(zero_copy_only=False) > 0)[:3]
+    ph[ok_idx] ^= 0x77
+    bad = t.set_column(t.schema.get_field_index("phash"), "phash", pa.array(ph))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        badp = f"{d}/bad.parquet"
+        pq.write_table(bad, badp)
+        vr = verify_precomputed_sample_lance(
+            "/x.lance",
+            DedupConfig(use_precomputed_phash=True, phash_verify_fraction=1.0),
+            dataset_factory=lambda p: FakeLanceDataset(badp, rows_per_fragment=2),
+        )
+        assert vr["phash_verify_mismatch"] == 3
+
+
+def test_lance_bytes_free_e2e(ray_session, sized_images_table, tmp_path, monkeypatch):
+    """End-to-end run_dedup over a (fake) .lance source with a size
+    column: the main scan must be bytes-FREE (the columns reaching
+    read_lance exclude `bytes`), the fragment-aligned standalone verify
+    must gate the run (metrics show a real decoded sample), and the
+    output must be bit-identical to the parquet bytes-free run."""
+    import sys
+
+    import ray.data as rdata
+
+    import idf.stages.hash_stage as hs
+    from idf.config import DedupConfig
+    from idf.testing import FakeLanceDataset, fake_lance_module
+
+    path = sized_images_table
+    monkeypatch.setitem(sys.modules, "lance", fake_lance_module(path))
+    captured = {}
+    real_read_parquet = rdata.read_parquet
+
+    def fake_read_lance(p, columns=None):
+        captured["columns"] = columns
+        return real_read_parquet(path, columns=columns)
+
+    monkeypatch.setattr(rdata, "read_lance", fake_read_lance)
+    # the verify pass binds the factory at closure-build time on the
+    # driver, so this monkeypatch rides into the workers by value
+    monkeypatch.setattr(hs, "_open_lance_dataset", lambda p: FakeLanceDataset(path))
+
+    lance_dir = str(tmp_path / "run_lance")
+    man = run_dedup(
+        "/data/images.lance",
+        lance_dir,
+        DedupConfig(use_precomputed_phash=True, phash_verify_fraction=0.5),
+        resume=False,
+        do_apply=False,
+    )
+    assert captured["columns"] is not None and "bytes" not in captured["columns"]
+    assert "size" in captured["columns"]
+    m = man.summary()["hashes"]["metrics"]
+    assert m["phash_verified"] > 0, "lance standalone verify sampled nothing"
+    assert m["phash_verify_mismatch"] == 0
+    # in-batch verify impossible without bytes
+    vt = pads.dataset(f"{lance_dir}/hashes").to_table(columns=["verify"])
+    assert (vt["verify"].to_numpy(zero_copy_only=False) == 0).all()
+
+    # bit-parity with the parquet bytes-free run
+    pq_dir = str(tmp_path / "run_pq")
+    run_dedup(
+        path,
+        pq_dir,
+        DedupConfig(use_precomputed_phash=True, phash_verify_fraction=0.5),
+        resume=False,
+        do_apply=False,
+    )
+    cols = ["image_id", "phash", "pixels", "size", "status"]
+    a = pads.dataset(f"{lance_dir}/hashes").to_table(columns=cols).to_pandas()
+    b = pads.dataset(f"{pq_dir}/hashes").to_table(columns=cols).to_pandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    for c in cols:
+        assert (a[c] == b[c]).all(), f"column {c} diverged (lance vs parquet bytes-free)"
+    assert _partition(lance_dir) == _partition(pq_dir)
+
+
+def test_lance_poisoned_phash_fails_gate(ray_session, sized_images_table, tmp_path, monkeypatch):
+    """A poisoned phash column behind a .lance source must fail the run
+    loudly through the fragment-aligned verify pass."""
+    import sys
+
+    import ray.data as rdata
+
+    import idf.stages.hash_stage as hs
+    from idf.config import DedupConfig
+    from idf.testing import FakeLanceDataset, fake_lance_module
+
+    t = pq.read_table(sized_images_table)
+    ph = t["phash"].to_numpy(zero_copy_only=False).copy()
+    ok_idx = np.flatnonzero(t["w"].to_numpy(zero_copy_only=False) > 0)[:3]
+    ph[ok_idx] ^= 0x5A5A
+    bad = t.set_column(t.schema.get_field_index("phash"), "phash", pa.array(ph))
+    badp = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, badp)
+
+    monkeypatch.setitem(sys.modules, "lance", fake_lance_module(badp))
+    real_read_parquet = rdata.read_parquet
+    monkeypatch.setattr(
+        rdata, "read_lance", lambda p, columns=None: real_read_parquet(badp, columns=columns)
+    )
+    monkeypatch.setattr(hs, "_open_lance_dataset", lambda p: FakeLanceDataset(badp))
+    with pytest.raises(RuntimeError, match="verification failed"):
+        run_dedup(
+            "/data/images.lance",
+            str(tmp_path / "run"),
+            DedupConfig(use_precomputed_phash=True, phash_verify_fraction=1.0),
+            resume=False,
+            do_apply=False,
+        )
