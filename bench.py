@@ -78,22 +78,29 @@ def run_bench() -> dict:
             .sum("n")
         )
 
-        run_dir = f"/tmp/idf_bench/run_sf{sf}_cpus{num_cpus}"
-        shutil.rmtree(run_dir, ignore_errors=True)
-        t0 = time.time()
-        # headline = FULL-DECODE throughput, pinned (r5): the config
-        # default is now 'auto' (precomputed when the table ships
+        # headline = BEST-OF-N full-decode pipeline wall (r4 verdict #2:
+        # one unambiguous headline — single-shot walls on this shared
+        # VM moved up to 40% between identical runs, so BENCH_rN and
+        # STAGES.md could drift in opposite directions). All rep walls
+        # are reported for transparency. Full decode is PINNED (r5): the
+        # config default is now 'auto' (precomputed when the table ships
         # phash), which would silently change what images_per_sec
-        # measures; the trust-but-verify walls are recorded separately
-        # in BENCH/STAGES.md
-        run_dedup(
-            images,
-            run_dir,
-            DedupConfig(use_precomputed_phash=False),
-            resume=False,
-            do_apply=False,
-        )
-        pipeline_sec = time.time() - t0
+        # measures; trust-but-verify walls live in BENCH/STAGES.md.
+        reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+        pipeline_reps: list[float] = []
+        for rep in range(max(reps, 1)):
+            run_dir = f"/tmp/idf_bench/run_sf{sf}_cpus{num_cpus}"
+            shutil.rmtree(run_dir, ignore_errors=True)
+            t0 = time.time()
+            run_dedup(
+                images,
+                run_dir,
+                DedupConfig(use_precomputed_phash=False),
+                resume=False,
+                do_apply=False,
+            )
+            pipeline_reps.append(round(time.time() - t0, 3))
+        pipeline_sec = min(pipeline_reps)
         queries["img_dedup_pipeline"] = round(pipeline_sec, 3)
     else:
         # docs-only child (--family mode): the image pipeline normally
@@ -112,46 +119,12 @@ def run_bench() -> dict:
                 lambda t: pa.table({"n": [len(t)]}), batch_format="pyarrow"
             ).sum("n")
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    t0 = time.time()
-    minhash_lsh_pairs(docs, tau=0.8).count()
-    queries["doc_minhash_pairs"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    ngram_jaccard_pairs(docs, tau=0.6).count()
-    queries["doc_ngram_pairs"] = round(time.time() - t0, 3)
-
-    from idf.functions.text_dedup import substring_dup_spans
-
-    t0 = time.time()
-    substring_dup_spans(docs, min_len=30).count()
-    queries["doc_substring_spans"] = round(time.time() - t0, 3)
-
-    from idf.functions.text_dedup import dedup_docs_map
-
-    t0 = time.time()
-    dedup_docs_map(docs, tau=0.8).count()
-    queries["doc_dedup_map"] = round(time.time() - t0, 3)
-
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    t0 = time.time()
-    cosine_topk(emb, list(range(64)), k=10).count()
-    queries["emb_cosine_topk"] = round(time.time() - t0, 3)
-
-    from idf.functions.ann import lsh_pairs
-
-    t0 = time.time()
-    lsh_pairs(emb, tau=0.4, n_bits=8, n_tables=4).count()
-    queries["emb_lsh_pairs"] = round(time.time() - t0, 3)
-
-    from idf.functions.ann import dedup_embeddings_map
-
-    t0 = time.time()
-    dedup_embeddings_map(emb, tau=0.4, n_bits=8, n_tables=4).count()
-    queries["emb_dedup_map"] = round(time.time() - t0, 3)
-
+    from idf.functions.ann import dedup_embeddings_map, lsh_pairs
     from idf.functions.relational import events_asof_orders, sessionize
+    from idf.functions.text_dedup import dedup_docs_map, substring_dup_spans
 
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     ev = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
     )
@@ -159,13 +132,28 @@ def run_bench() -> dict:
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
-    t0 = time.time()
-    events_asof_orders(ev, od).count()
-    queries["events_asof_orders"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    sessionize(ev).count()
-    queries["events_sessions"] = round(time.time() - t0, 3)
+    named = [
+        ("doc_minhash_pairs", lambda: minhash_lsh_pairs(docs, tau=0.8).count()),
+        ("doc_ngram_pairs", lambda: ngram_jaccard_pairs(docs, tau=0.6).count()),
+        ("doc_substring_spans", lambda: substring_dup_spans(docs, min_len=30).count()),
+        ("doc_dedup_map", lambda: dedup_docs_map(docs, tau=0.8).count()),
+        ("emb_cosine_topk", lambda: cosine_topk(emb, list(range(64)), k=10).count()),
+        ("emb_lsh_pairs", lambda: lsh_pairs(emb, tau=0.4, n_bits=8, n_tables=4).count()),
+        (
+            "emb_dedup_map",
+            lambda: dedup_embeddings_map(emb, tau=0.4, n_bits=8, n_tables=4).count(),
+        ),
+        ("events_asof_orders", lambda: events_asof_orders(ev, od).count()),
+        ("events_sessions", lambda: sessionize(ev).count()),
+    ]
+    # best-of-N per query, same protocol as the headline
+    q_reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    for _ in range(max(q_reps, 1)):
+        for name, thunk in named:
+            t0 = time.time()
+            thunk()
+            dt = round(time.time() - t0, 3)
+            queries[name] = min(queries.get(name, dt), dt)
 
     result = {
         "metric": "img_dedup_pipeline_wall_sec",
@@ -176,7 +164,10 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "n_images": n_images,
         "images_per_sec": round(n_images / pipeline_sec, 2) if pipeline_sec else 0.0,
+        "headline_mode": f"best_of_{max(int(os.environ.get('GRAFT_BENCH_REPS', '2')), 1)}",
     }
+    if not docs_only:
+        result["pipeline_reps_sec"] = pipeline_reps
     if jfif_p != 0.12:
         result["jfif_p"] = jfif_p
     ray.shutdown()
@@ -184,6 +175,10 @@ def run_bench() -> dict:
 
 
 def _run_child(n_cpus: int, **extra_env: str) -> dict:
+    # children of --scaling/--family/--mix implement their own rep
+    # protocol (interleaved fresh processes); the in-process best-of-N
+    # would just double every leg's cost
+    extra_env.setdefault("GRAFT_BENCH_REPS", "1")
     env = dict(os.environ, RAY_GRAFT_CPUS=str(n_cpus), **extra_env)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
