@@ -108,6 +108,8 @@ def exchange_apply(
     n_parts: int | None = None,
     arrow_fn: bool = False,
     max_bytes: int | None = None,
+    pre_map: "callable | None" = None,
+    est_bytes: int | None = None,
 ) -> rd.Dataset:
     """Raw-Ray two-phase hash exchange + whole-partition apply.
 
@@ -134,18 +136,31 @@ def exchange_apply(
     ``max_bytes``: post-materialize size guard — if the input turns out
     larger, the call degrades to the streaming sort engine over the
     (already spill-managed) materialized blocks instead of also holding
-    the n_parts-way split copies alongside them."""
+    the n_parts-way split copies alongside them.
+
+    ``pre_map``: an Arrow-table->Arrow-table row-EXPANDING transform
+    fused INTO the split tasks (r4 verdict #3). The banding stage's key
+    expansion multiplies rows 68x; running it as its own map stage
+    materializes the expanded table into plasma once (write + read ~170
+    MB at sf0.1) before the split pass reads it again. Fused, each
+    split task expands only its own small input block transiently and
+    ships the split outputs directly — the expanded table NEVER exists
+    as a whole in the object store (measured: sf0.1 banding stage 5.7 s
+    -> ~2 s at 32 CPUs). ``est_bytes`` then sizes n_parts (the
+    materialized pre-map input no longer predicts shuffle volume)."""
     keys = [key] if isinstance(key, str) else list(key)
     mat = ds.materialize()
     if max_bytes is not None and (mat.size_bytes() or 0) > max_bytes:
         EXCHANGE_STATS["sort_fallback"] += 1
+        if pre_map is not None:
+            mat = mat.map_batches(pre_map, batch_format="pyarrow", zero_copy_batch=True)
         return _sorted_bucketed_apply(
             mat, keys, bucket_fn, N_BUCKETS_DEFAULT, False, arrow_fn
         )
     EXCHANGE_STATS["exchange"] += 1
     if n_parts is None:
         target_partition_bytes = 256 << 20
-        size = mat.size_bytes() or 0
+        size = est_bytes if est_bytes is not None else (mat.size_bytes() or 0)
         if size < (64 << 20):
             # tiny exchange: don't fan out to 2x CPUs — each _split task
             # returns n_parts objects, so 64-way partitioning of a 5 MB
@@ -166,9 +181,19 @@ def exchange_apply(
     def _split(tbl: pa.Table):
         if tbl.num_rows == 0:
             # Ray emits zero-row blocks with a BLANK schema between some
-            # operators; they carry nothing to route
+            # operators; they carry nothing to route. With a pre_map,
+            # typed empties must carry the POST-map schema so the reduce
+            # concat sees one consistent schema (blank 0-column empties
+            # are filtered there either way).
+            if pre_map is not None and tbl.num_columns:
+                tbl = pre_map(tbl)
             e = tbl.slice(0, 0)
             return tuple(e for _ in range(n_parts))
+        if pre_map is not None:
+            tbl = pre_map(tbl)
+            if tbl.num_rows == 0:
+                e = tbl.slice(0, 0)
+                return tuple(e for _ in range(n_parts))
         kdf = tbl.select(keys).to_pandas()
         part = (
             pd.util.hash_pandas_object(kdf, index=False).to_numpy() % n_parts
@@ -239,6 +264,8 @@ def exchange_apply(
         empty_in = pa.table(
             {n: pa.array([], type=_as_arrow_type(t)) for n, t in zip(schema.names, schema.types)}
         )
+        if pre_map is not None:
+            empty_in = pre_map(empty_in)
         out = bucket_fn(empty_in if arrow_fn else empty_in.to_pandas())
         if isinstance(out, pa.Table):
             return rd.from_arrow(out)
@@ -295,6 +322,7 @@ def bucketed_apply(
     exchange: bool | None = None,
     arrow_fn: bool = False,
     est_bytes: int | None = None,
+    pre_map: "callable | None" = None,
 ) -> rd.Dataset:
     """Hash-partition rows by ``key`` and apply ``bucket_fn`` (pandas
     in/out, or Arrow in with ``arrow_fn=True``) to each WHOLE co-located
@@ -345,7 +373,19 @@ def bucketed_apply(
     if (exchange or os.environ.get("IDF_EXCHANGE")) and not os.environ.get(
         "IDF_NO_EXCHANGE"
     ):
-        return exchange_apply(ds, keys, bucket_fn, arrow_fn=arrow_fn, max_bytes=post_guard)
+        return exchange_apply(
+            ds,
+            keys,
+            bucket_fn,
+            arrow_fn=arrow_fn,
+            max_bytes=post_guard,
+            pre_map=pre_map,
+            est_bytes=est_bytes,
+        )
+    if pre_map is not None:
+        # sort engine: the row-expanding map runs as its own streamed
+        # stage (the sort spills; no fusion win to be had there)
+        ds = ds.map_batches(pre_map, batch_format="pyarrow", zero_copy_batch=True)
     return _sorted_bucketed_apply(ds, keys, bucket_fn, n_buckets, polars_sort, arrow_fn)
 
 

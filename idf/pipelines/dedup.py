@@ -208,10 +208,26 @@ def run_dedup(
     # shuffle bytes and no per-bucket string factorize (measured 1.7x
     # at sf0.1/32cpu). CC runs on the hash graph; image membership
     # joins back through the hashes table inside the CC stage.
+    # the distinct stage's driver fast path writes ONE small file, so a
+    # plain read gives band_edges ONE input block and the key expansion
+    # (68 output rows per hash — the pipeline's widest map) runs as a
+    # single serial task: measured 3.5 s of the 32-CPU edge wall, pure
+    # first-touch allocation on one core (r4 verdict #3's "~2 s/job
+    # width-independent cost" was mostly THIS, not sort coordination).
+    # Splitting the read lets the expansion fan out: 6.8 s -> 3.4 s
+    # best-of-3 on the sf0.1 banding stage at 32 CPUs.
+    from idf.ops import available_cpus
+    from idf.stages.hash_stage import auto_num_blocks
+
+    distinct_blocks = auto_num_blocks(distinct_dir, available_cpus())
     edge_stages = [
         (
             "edges_band",
-            lambda: band_edges(_read(distinct_dir), cfg, int_pairs=True),
+            lambda: band_edges(
+                _read(distinct_dir, override_num_blocks=distinct_blocks),
+                cfg,
+                int_pairs=True,
+            ),
         )
     ]
     if cfg.caption_lsh:

@@ -354,11 +354,6 @@ def band_edges(
     is a tiny mask array rebuilt per task — dedicated actor fleets would
     only add spin-up latency per stage."""
     expander = BandExpander(cfg, with_ids=not int_pairs)
-    expanded = distinct.map_batches(
-        expander,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
     from idf.ops import bucketed_apply
 
     fn = (
@@ -386,12 +381,19 @@ def band_edges(
     est = None
     if in_bytes is not None:
         est = in_bytes * cfg.n_segments * len(expander.masks) * 2
+    # pre_map fusion (r4 verdict #3): the 68x key expansion runs INSIDE
+    # the exchange's split tasks, so the expanded table — the pipeline's
+    # largest intermediate — never materializes into the object store as
+    # a whole (measured 5.7 s -> ~2 s for this stage at sf0.1/32 CPUs).
+    # The sort engine (above the byte gate) streams it as its own map
+    # stage, unchanged.
     return bucketed_apply(
-        expanded,
+        distinct,
         "key",
         fn,
         polars_sort=True,  # sort engine (above the gate): all-primitive columns
         est_bytes=est,
+        pre_map=expander,
     )
 
 
@@ -438,11 +440,6 @@ def caption_edges(
     # stateless tasks: the MinHasher's permutation arrays are tiny and
     # ship in the task closure; no actor fleet spin-up per stage
     bander = CaptionBander(cfg, with_ids=not int_pairs)
-    banded = hashes_ok.map_batches(
-        bander,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
 
     # identical phash under the same band key dedupes inside the bucket
     # fn (the collapse stage already links those at dist 0)
@@ -462,12 +459,16 @@ def caption_edges(
     from idf.ops import _estimate_bytes
 
     in_bytes = _estimate_bytes(hashes_ok)
+    # same pre_map fusion as band_edges: the MinHash+banding map runs
+    # inside the exchange's split tasks, so the banded rows never
+    # materialize as a whole table
     return bucketed_apply(
-        banded,
+        hashes_ok,
         "key",
         fn,
         polars_sort=True,
         est_bytes=None if in_bytes is None else in_bytes * 4,
+        pre_map=bander,
     )
 
 
