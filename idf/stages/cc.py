@@ -27,6 +27,12 @@ import ray.data as rd
 
 CLUSTER_SCHEMA = pa.schema([("cluster_id", pa.string()), ("image_id", pa.string())])
 
+# Observability for the distributed CC path (mirrors SESSIONIZE_STATS /
+# EXCHANGE_STATS): how many propagation rounds the last labelprop run
+# took and whether it hit the fixpoint before max_iters. Read by
+# scripts/bench_labelprop_guard.py and asserted in tests.
+CC_STATS: dict = {"labelprop_rounds": None, "converged": None}
+
 
 class _UnionFind:
     __slots__ = ("parent", "size")
@@ -118,6 +124,8 @@ def components_labelprop(edges: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
         .materialize()
     )
 
+    CC_STATS["labelprop_rounds"] = 0
+    CC_STATS["converged"] = False
     for _ in range(max_iters):
         # join labels onto edge sources, propagate to dst, take min
         from idf.ops import hash_join
@@ -150,7 +158,9 @@ def components_labelprop(edges: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
             batch_format="pyarrow",
         ).sum("c")
         labels = new_labels
+        CC_STATS["labelprop_rounds"] += 1
         if not changed:
+            CC_STATS["converged"] = True
             break
     return labels.map_batches(
         lambda t: pa.table({"cluster_id": t["label"], "image_id": t["node"]}),

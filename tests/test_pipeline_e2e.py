@@ -157,6 +157,12 @@ def test_labelprop_equals_driver_cc(ray_session, small_images_table, tmp_path_fa
     table = pq.read_table(small_images_table)
     _, comps, _ = oracle_end_to_end(table, radius=10)
     assert got == {c for c in comps if len(c) >= 2}
+    # the distributed path records observable convergence stats
+    # (read by scripts/bench_labelprop_guard.py for the above-guard run)
+    from idf.stages.cc import CC_STATS
+
+    assert CC_STATS["converged"] is True
+    assert 1 <= CC_STATS["labelprop_rounds"] <= 50
 
 
 def test_edge_dedup_path_same_clusters(ray_session, small_images_table, tmp_path_factory):
