@@ -180,9 +180,10 @@ class PrecomputedHasher:
             )
         self.decoder = DecodeHasher(algo, exif_from_bytes=exif_from_bytes)
         f = min(max(float(verify_fraction), 0.0), 1.0)
-        # uint64 sample threshold: scale inside int64 range first, then
-        # double in uint64 space (np.uint64(pyint > 2^63-1) overflows)
-        self.thresh = np.uint64(int(f * float(2**63 - 1))) * np.uint64(2)
+        # uint64 sample threshold = floor(f * 2^64), computed in exact
+        # Python ints and clamped: float(2^63-1) rounds UP to 2^63, so
+        # the former scale-then-double wrapped to 0 at f=1.0
+        self.thresh = np.uint64(min(int(f * 2.0**64), 2**64 - 1))
         self.sample_all = f >= 1.0
         self.verify_fraction = f
         self.seed = seed
