@@ -89,15 +89,93 @@ def components_driver(edges: rd.Dataset) -> pa.Table:
     return _cc_from_codes(codes, uniques, len(a))
 
 
+def _labelprop_route_msgs(t: pa.Table) -> pa.Table:
+    """Exchange-1 bucket fn: co-grouped (edges ∪ labels) keyed on ``src``.
+
+    Emits one message per edge (``node=dst`` carrying ``label(src)``)
+    plus every label row's self-message (flagged), all vectorized via a
+    sorted searchsorted lookup — no pandas merge, no null-padded int64
+    round-trips through float64.
+    """
+    import pyarrow.compute as pc
+
+    is_lab = pc.equal(t["__side"], 1)
+    lab_t = t.filter(is_lab)
+    edge_t = t.filter(pc.invert(is_lab))
+    src_l = lab_t["src"].to_numpy(zero_copy_only=False)
+    lab_l = lab_t["label"].to_numpy(zero_copy_only=False)
+    src_e = edge_t["src"].to_numpy(zero_copy_only=False)
+    dst_e = edge_t["dst"].to_numpy(zero_copy_only=False)
+    order = np.argsort(src_l, kind="stable")
+    src_ls, lab_ls = src_l[order], lab_l[order]
+    if len(src_e):
+        idx = np.searchsorted(src_ls, src_e)
+        if idx.max(initial=-1) >= len(src_ls) or not (src_ls[idx] == src_e).all():
+            raise AssertionError(
+                "labelprop invariant broken: an edge src has no label row "
+                "(labels must cover every node of the symmetric edge list)"
+            )
+        edge_lab = lab_ls[idx]
+    else:
+        edge_lab = np.empty(0, dtype=lab_ls.dtype)
+    node = np.concatenate([dst_e, src_ls])
+    label = np.concatenate([edge_lab, lab_ls])
+    is_self = np.zeros(len(node), dtype=np.int8)
+    is_self[len(dst_e):] = 1
+    return pa.table({"node": node, "label": label, "__self": is_self})
+
+
+def _labelprop_min_reduce(t: pa.Table) -> pa.Table:
+    """Exchange-2 bucket fn: per-node min over messages ∪ self rows.
+
+    Returns ``(node, label, old)`` where ``old`` is the node's previous
+    label (its unique self row) — the convergence comparison rides the
+    same shuffle instead of a separate join, halving the per-round
+    all-to-all count (the thing that matters at 100-TB edge volumes).
+    No sentinel values: ``old`` comes from the flagged self rows, so
+    labels touching INT64_MAX/MIN stay exact (r2 advice analog,
+    tests/test_scale_paths.py::test_labelprop_distinct_huge_labels_stay_distinct).
+    """
+    node = t["node"].to_numpy(zero_copy_only=False)
+    label = t["label"].to_numpy(zero_copy_only=False)
+    is_self = t["__self"].to_numpy(zero_copy_only=False).astype(bool)
+    order = np.argsort(node, kind="stable")
+    n_s, l_s = node[order], label[order]
+    bounds = np.flatnonzero(np.r_[True, n_s[1:] != n_s[:-1]]) if len(n_s) else np.empty(0, dtype=np.int64)
+    unodes = n_s[bounds]
+    new_lab = np.minimum.reduceat(l_s, bounds) if len(bounds) else l_s[:0]
+    ns, ls = node[is_self], label[is_self]
+    so = np.argsort(ns, kind="stable")
+    ns_s, ls_s = ns[so], ls[so]
+    if len(unodes):
+        pos = np.searchsorted(ns_s, unodes)
+        if pos.max(initial=-1) >= len(ns_s) or not (ns_s[pos] == unodes).all():
+            raise AssertionError(
+                "labelprop invariant broken: a node received messages but "
+                "has no self row (every node must carry its own label)"
+            )
+        old = ls_s[pos]
+    else:
+        old = ls_s[:0]
+    return pa.table({"node": unodes, "label": new_lab, "old": old})
+
+
 def components_labelprop(edges: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
     """Distributed min-label propagation to fixpoint.
 
-    labels(node) starts at node; each round every edge sends both
-    endpoints' labels both ways and each node takes the min
-    (groupby(node).min(label)); converged when no label changed.
-    Deterministic output: label == min member id.
+    labels(node) starts at min(node, neighbors); each round every edge
+    sends its source's label to its destination and each node takes the
+    min over incoming messages and its own label; converged when no
+    label changed. Deterministic output: label == min member id.
+
+    Each round is exactly TWO content-keyed exchanges (the structural
+    minimum for edge-wise propagation) with the convergence check fused
+    into the second one's output — the earlier hash_join+groupby+join
+    formulation cost ~4 shuffle jobs per round, and per-job fixed
+    coordination dominated it at small edge counts (578 s → this at
+    sf0.1; see scripts/bench_labelprop_guard.py).
     """
-    from ray.data.aggregate import Min
+    from idf.ops import exchange_apply
 
     sym = edges.map_batches(
         lambda t: pa.table(
@@ -109,55 +187,55 @@ def components_labelprop(edges: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
         batch_format="pyarrow",
     ).materialize()  # small (id pairs only); reused every round
 
-    labels = (
-        sym.groupby("src")
-        .aggregate(Min("dst", alias_name="min_nb"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t["src"],
-                    "label": pa.compute.min_element_wise(t["src"], t["min_nb"]),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .materialize()
+    def _init_labels(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        s_s, d_s = src[order], dst[order]
+        bounds = np.flatnonzero(np.r_[True, s_s[1:] != s_s[:-1]]) if len(s_s) else np.empty(0, dtype=np.int64)
+        unodes = s_s[bounds]
+        min_nb = np.minimum.reduceat(d_s, bounds) if len(bounds) else d_s[:0]
+        return pa.table({"node": unodes, "label": np.minimum(unodes, min_nb)})
+
+    labels = exchange_apply(sym, "src", _init_labels, arrow_fn=True)
+
+    edge_side = sym.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"].combine_chunks(),
+                "dst": t["dst"].combine_chunks(),
+                "label": pa.nulls(len(t), pa.int64()),
+                "__side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
     CC_STATS["labelprop_rounds"] = 0
     CC_STATS["converged"] = False
     for _ in range(max_iters):
-        # join labels onto edge sources, propagate to dst, take min
-        from idf.ops import hash_join
-
-        msgs = hash_join(
-            sym, labels.map_batches(lambda t: t.rename_columns(["src", "label"]), batch_format="pyarrow"),
-            on="src",
-        ).map_batches(
-            lambda t: pa.table({"node": t["dst"], "label": t["label"]}), batch_format="pyarrow"
-        )
-        self_msgs = labels
-        new_labels = (
-            msgs.union(self_msgs)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
-        # convergence: count rows whose label changed
-        both = hash_join(
-            new_labels,
-            labels.map_batches(
-                lambda t: t.rename_columns(["node", "old_label"]), batch_format="pyarrow"
-            ),
-            on="node",
-        )
-        changed = both.map_batches(
+        lab_side = labels.map_batches(
             lambda t: pa.table(
-                {"c": pa.compute.cast(pa.compute.not_equal(t["label"], t["old_label"]), pa.int64())}
+                {
+                    "src": t["node"].combine_chunks(),
+                    "dst": pa.nulls(len(t), pa.int64()),
+                    "label": t["label"].combine_chunks(),
+                    "__side": pa.array(np.ones(len(t), dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        msgs = exchange_apply(
+            edge_side.union(lab_side), "src", _labelprop_route_msgs, arrow_fn=True
+        )
+        agg = exchange_apply(msgs, "node", _labelprop_min_reduce, arrow_fn=True)
+        changed = agg.map_batches(
+            lambda t: pa.table(
+                {"c": pa.compute.cast(pa.compute.not_equal(t["label"], t["old"]), pa.int64())}
             ),
             batch_format="pyarrow",
         ).sum("c")
-        labels = new_labels
+        labels = agg.select_columns(["node", "label"])
         CC_STATS["labelprop_rounds"] += 1
         if not changed:
             CC_STATS["converged"] = True
