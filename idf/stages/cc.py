@@ -177,7 +177,10 @@ def components_labelprop(edges: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
     """
     from idf.ops import exchange_apply
 
-    sym = edges.map_batches(
+    # symmetrize + pad in one lazy chain, materialized ONCE: the padded
+    # edge table is the only pinned copy (init reads its src/dst and
+    # ignores the padding; every round's union reuses the same blocks)
+    edge_side = edges.map_batches(
         lambda t: pa.table(
             {
                 "src": pa.concat_arrays([t["id_a"].combine_chunks(), t["id_b"].combine_chunks()]),
@@ -185,7 +188,17 @@ def components_labelprop(edges: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
             }
         ),
         batch_format="pyarrow",
-    ).materialize()  # small (id pairs only); reused every round
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["src"].combine_chunks(),
+                "dst": t["dst"].combine_chunks(),
+                "label": pa.nulls(len(t), pa.int64()),
+                "__side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
 
     def _init_labels(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
@@ -197,19 +210,7 @@ def components_labelprop(edges: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
         min_nb = np.minimum.reduceat(d_s, bounds) if len(bounds) else d_s[:0]
         return pa.table({"node": unodes, "label": np.minimum(unodes, min_nb)})
 
-    labels = exchange_apply(sym, "src", _init_labels, arrow_fn=True)
-
-    edge_side = sym.map_batches(
-        lambda t: pa.table(
-            {
-                "src": t["src"].combine_chunks(),
-                "dst": t["dst"].combine_chunks(),
-                "label": pa.nulls(len(t), pa.int64()),
-                "__side": pa.array(np.zeros(len(t), dtype=np.int8)),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    labels = exchange_apply(edge_side, "src", _init_labels, arrow_fn=True)
 
     CC_STATS["labelprop_rounds"] = 0
     CC_STATS["converged"] = False
