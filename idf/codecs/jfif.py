@@ -70,6 +70,8 @@ class HuffTable:
         "_codes",
         "lut16_sym",
         "lut16_len",
+        "lut16_sym_np",
+        "lut16_len_np",
         "lut16_skip_dc",
         "lut16_skip_ac",
         "lut16_skip_ac2",
@@ -89,6 +91,8 @@ class HuffTable:
         self._codes = codes_by_len
         self.lut16_sym = None
         self.lut16_len = None
+        self.lut16_sym_np = None
+        self.lut16_len_np = None
         self.lut16_skip_dc = None
         self.lut16_skip_ac = None
         self.lut16_skip_ac2 = None
@@ -107,6 +111,8 @@ class HuffTable:
             hi = lo + (1 << (16 - length))
             sym[lo:hi] = s
             ln[lo:hi] = length
+        self.lut16_sym_np = sym  # kept for the native kernel's LUT stack
+        self.lut16_len_np = ln
         self.lut16_sym = sym.tolist()
         self.lut16_len = ln.tolist()
 
@@ -427,6 +433,122 @@ def _alloc_coefs(frame, comps) -> None:
     frame["mcus_y"] = mcus_y
 
 
+# stacked-LUT cache for the native kernel: one (n_tables, 65536) int16
+# pair per distinct table combination. Keyed by table object identity —
+# safe because tables live in _HT_CACHE (LRU) and a stack entry holds
+# references to its tables, pinning them for the key's lifetime.
+_LUT_STACKS: dict[tuple, tuple] = {}
+_LUT_STACKS_CAP = 16
+_PAD8 = b"\xff" * 8
+
+
+def _native_baseline_scan(frame, comps, scan, luma_zz) -> bool:
+    """Decode this baseline scan with the compiled entropy kernel
+    (idf/codecs/native.py). Returns False when the kernel is
+    unavailable (no compiler / IDF_NO_NATIVE) so the caller runs the
+    pure-Python loop; semantics of the two paths are bit-identical
+    (asserted by tests/test_native_entropy.py)."""
+    from idf.codecs import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return False
+
+    by_id = {c.cid: c for c in comps}
+    sel = []
+    tables: list[HuffTable] = []
+    for cs, td, ta in scan["sel"]:
+        comp = by_id[cs]
+        dc, ac = scan["dc"][td], scan["ac"][ta]
+        dc.ensure_lut16()
+        ac.ensure_lut16()
+        if luma_zz is None:
+            bound = 63
+        elif comp is comps[0]:
+            bound = luma_zz
+        else:
+            bound = -1
+        sel.append((comp, dc, ac, bound))
+        tables.append(dc)
+        tables.append(ac)
+
+    # stacked LUTs (content-stable per table identity, LRU-capped)
+    distinct: list[HuffTable] = []
+    idx_of: dict[int, int] = {}
+    for t in tables:
+        if id(t) not in idx_of:
+            idx_of[id(t)] = len(distinct)
+            distinct.append(t)
+    key = tuple(idx_of)  # insertion-ordered ids
+    entry = _LUT_STACKS.pop(key, None)
+    if entry is None:
+        if len(_LUT_STACKS) >= _LUT_STACKS_CAP:
+            _LUT_STACKS.pop(next(iter(_LUT_STACKS)))
+        sym_stack = np.concatenate([t.lut16_sym_np for t in distinct])
+        len_stack = np.concatenate([t.lut16_len_np for t in distinct])
+        entry = (sym_stack, len_stack, tuple(distinct))
+    _LUT_STACKS[key] = entry  # re-insert at MRU end
+    sym_stack, len_stack, _pin = entry
+
+    ri = scan["ri"]
+    interleaved = len(sel) > 1
+    if interleaved:
+        mcus_x = frame["mcus_x"]
+        total = mcus_x * frame["mcus_y"]
+        bw_scan = 1
+        units = []
+        for slot, (comp, dc, ac, bound) in enumerate(sel):
+            for by in range(comp.v):
+                for bx in range(comp.h):
+                    units.append(
+                        [slot, by, bx, comp.bw, comp.v, comp.h, bound,
+                         idx_of[id(dc)], idx_of[id(ac)], comp.coefs.ctypes.data]
+                    )
+    else:
+        comp, dc, ac, bound = sel[0]
+        mcus_x = 1
+        bw_scan = -(-comp.w // 8)
+        total = bw_scan * (-(-comp.hgt // 8))
+        units = [[0, 0, 0, comp.bw, 1, 1, bound,
+                  idx_of[id(dc)], idx_of[id(ac)], comp.coefs.ctypes.data]]
+    if total == 0:
+        return True
+    per = ri if ri else total
+
+    # concatenated padded segments, exactly the Python loop's per-
+    # segment `bytes + 8*0xFF` layout (missing segments decode the
+    # bare pad, same as b"" + pad)
+    segments = scan["segments"]
+    n_seg = -(-total // per)
+    offs = np.empty(n_seg, dtype=np.int64)
+    ends = np.empty(n_seg, dtype=np.int64)
+    chunks = []
+    cur = 0
+    for i in range(n_seg):
+        s = segments[i] if i < len(segments) else b""
+        chunks.append(s)
+        chunks.append(_PAD8)
+        offs[i] = cur
+        cur += len(s) + 8
+        ends[i] = cur
+    buf = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    u_arr = np.array(units, dtype=np.int64)
+
+    code = lib.idf_decode_baseline(
+        buf.ctypes.data, offs.ctypes.data, ends.ctypes.data, n_seg,
+        total, per, mcus_x, 1 if interleaved else 0, bw_scan,
+        len(units), u_arr.ctypes.data,
+        sym_stack.ctypes.data, len_stack.ctypes.data,
+    )
+    if code == 0:
+        return True
+    if code in (1, 2, 3, 4):
+        from idf.codecs.native import error_message
+
+        raise JfifError(error_message(code))
+    return False  # unexpected: run the Python path
+
+
 def _decode_baseline_scan(frame, comps, scan, luma_zz=None) -> None:
     """Baseline (and single-scan sequential) entropy decode, specialized:
     cached 16-bit Huffman LUTs (one peek per symbol, Python-list indexed)
@@ -440,7 +562,15 @@ def _decode_baseline_scan(frame, comps, scan, luma_zz=None) -> None:
     — but through packed skip LUTs (code length + magnitude bits in
     ONE table read), with no numpy row fetch, extend arithmetic, or
     store. That removes the dominant per-coefficient cost for hashing
-    decodes, which typically need the DC-only 1/8 scale."""
+    decodes, which typically need the DC-only 1/8 scale.
+
+    When the box has a C compiler, the whole scan is decoded by the
+    compiled twin of this loop instead (same symbol algorithm, same
+    LUTs, same error rules — see idf/codecs/native.py); this Python
+    body is the always-available fallback and the conformance
+    reference."""
+    if _native_baseline_scan(frame, comps, scan, luma_zz):
+        return
     by_id = {c.cid: c for c in comps}
     sel = []
     for cs, td, ta in scan["sel"]:
