@@ -68,6 +68,7 @@ class JfifError(ValueError):
 class HuffTable:
     __slots__ = (
         "_codes",
+        "max_sym",
         "lut16_sym",
         "lut16_len",
         "lut16_sym_np",
@@ -89,6 +90,7 @@ class HuffTable:
                 k += 1
             code <<= 1
         self._codes = codes_by_len
+        self.max_sym = max((s for _, _, s in codes_by_len), default=0)
         self.lut16_sym = None
         self.lut16_len = None
         self.lut16_sym_np = None
@@ -455,11 +457,18 @@ def _native_baseline_scan(frame, comps, scan, luma_zz) -> bool:
         return False
 
     by_id = {c.cid: c for c in comps}
+    if len(scan["sel"]) > 16:
+        return False  # malformed: T.81 allows 4; C preds[] sized for 16
     sel = []
     tables: list[HuffTable] = []
     for cs, td, ta in scan["sel"]:
         comp = by_id[cs]
         dc, ac = scan["dc"][td], scan["ac"][ta]
+        if dc.max_sym > 16:
+            # malformed DC table (valid magnitude categories are 0..16):
+            # the C kernel's single-refill value read assumes s <= 16,
+            # the Python loop handles any s — route there
+            return False
         dc.ensure_lut16()
         ac.ensure_lut16()
         if luma_zz is None:
@@ -502,7 +511,8 @@ def _native_baseline_scan(frame, comps, scan, luma_zz) -> bool:
                 for bx in range(comp.h):
                     units.append(
                         [slot, by, bx, comp.bw, comp.v, comp.h, bound,
-                         idx_of[id(dc)], idx_of[id(ac)], comp.coefs.ctypes.data]
+                         idx_of[id(dc)], idx_of[id(ac)], comp.coefs.ctypes.data,
+                         comp.coefs.shape[0]]
                     )
     else:
         comp, dc, ac, bound = sel[0]
@@ -510,7 +520,8 @@ def _native_baseline_scan(frame, comps, scan, luma_zz) -> bool:
         bw_scan = -(-comp.w // 8)
         total = bw_scan * (-(-comp.hgt // 8))
         units = [[0, 0, 0, comp.bw, 1, 1, bound,
-                  idx_of[id(dc)], idx_of[id(ac)], comp.coefs.ctypes.data]]
+                  idx_of[id(dc)], idx_of[id(ac)], comp.coefs.ctypes.data,
+                  comp.coefs.shape[0]]]
     if total == 0:
         return True
     per = ri if ri else total
@@ -542,7 +553,7 @@ def _native_baseline_scan(frame, comps, scan, luma_zz) -> bool:
     )
     if code == 0:
         return True
-    if code in (1, 2, 3, 4):
+    if code in (1, 2, 3, 4, 6):
         from idf.codecs.native import error_message
 
         raise JfifError(error_message(code))

@@ -48,7 +48,7 @@ _C_SRC = r"""
  * lookup; segments arrive unstuffed and 8-byte 0xFF padded; reading
  * past a segment's pad means a truncated stream.
  *
- * U: per block-unit int64 row of 10 values:
+ * U: per block-unit int64 row of 11 values:
  *   0 slot      predictor slot (index into the scan's component list)
  *   1 by, 2 bx  block position inside the MCU
  *   3 comp_bw   component's allocated blocks-per-row
@@ -57,9 +57,15 @@ _C_SRC = r"""
  *               index <= bound (63 = full decode)
  *   7 dc_tbl, 8 ac_tbl  table index into the stacked 65536-entry LUTs
  *   9 coef_ptr  address of the component's (n_blocks, 64) int32 array
+ *  10 n_blocks  rows in that array (bounds guard: the Python loop gets
+ *               this for free from numpy indexing)
  *
  * Returns 0 ok, 1 bad DC code, 2 bad AC code, 3 AC index out of
- * range, 4 truncated entropy data. */
+ * range, 4 truncated entropy data, 6 block index out of bounds
+ * (mirrors numpy IndexError -> "truncated entropy data"). The Python
+ * wrapper refuses scans with >16 components or DC magnitude
+ * categories >16 (malformed tables) so preds[] and the single-refill
+ * value reads below are safe by construction. */
 
 #define FILL16                                                          \
     if (nbits < 16) {                                                   \
@@ -79,12 +85,13 @@ long long idf_decode_baseline(
 {
     if (n_units > 64) return 5;
     int32_t u_slot[64], u_bound[64];
-    int64_t u_by[64], u_bx[64], u_bw[64], u_v[64], u_h[64];
+    int64_t u_by[64], u_bx[64], u_bw[64], u_v[64], u_h[64], u_nb[64];
     const int16_t *u_dsym[64], *u_dlen[64], *u_asym[64], *u_alen[64];
     int32_t *u_coefs[64];
     for (int64_t u = 0; u < n_units; u++) {
-        const int64_t *r = U + u * 10;
+        const int64_t *r = U + u * 11;
         u_slot[u] = (int32_t)r[0];
+        if (u_slot[u] < 0 || u_slot[u] > 15) return 5;
         u_by[u] = r[1];
         u_bx[u] = r[2];
         u_bw[u] = r[3];
@@ -96,6 +103,7 @@ long long idf_decode_baseline(
         u_asym[u] = lut_sym + r[8] * 65536;
         u_alen[u] = lut_len + r[8] * 65536;
         u_coefs[u] = (int32_t *)(uintptr_t)r[9];
+        u_nb[u] = r[10];
     }
 
     int64_t done = 0, seg_idx = 0;
@@ -121,6 +129,7 @@ long long idf_decode_baseline(
                     int64_t bi = interleaved
                         ? (my * u_v[u] + u_by[u]) * u_bw[u] + (mx * u_h[u] + u_bx[u])
                         : by0 * u_bw[u] + bx0;
+                    if (bi < 0 || bi >= u_nb[u]) return 6;
                     row = u_coefs[u] + bi * 64;
                 }
                 /* ---- DC */
@@ -188,6 +197,7 @@ _ERRORS = {
     2: "bad Huffman code (AC)",
     3: "AC index out of range",
     4: "truncated entropy data",
+    6: "truncated entropy data",  # block index OOB == numpy IndexError path
 }
 
 _lib = None
