@@ -79,6 +79,54 @@ def test_truncation_and_corruption_error_parity():
         _assert_identical(decode_jfif, bytes(d))
 
 
+def test_fuzz_outcome_parity():
+    """Adversarial bytes: random garbage after SOI, heavy mutations of a
+    real stream, truncation+mutation. Both paths must agree on outcome —
+    same pixels or the same JfifError message — and the C kernel must
+    never crash or corrupt memory where numpy indexing would raise (the
+    bounds-guard returns map onto the same error strings)."""
+    rng = np.random.default_rng(123)
+    img = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    base = encode_jfif(img, quality=70, restart_interval=2)
+
+    def run(d):
+        # catch broadly: a malformed header can raise KeyError/struct
+        # errors from the shared parse/table plumbing BEFORE either
+        # entropy path runs (pre-existing scalar behavior; the decode
+        # stage's per-record tolerance M9 catches any exception) — the
+        # parity contract is same-exception, whatever it is
+        try:
+            return ("ok", decode_jfif(d))
+        except Exception as e:
+            return (type(e).__name__, str(e))
+
+    for trial in range(120):
+        mode = trial % 3
+        if mode == 0:
+            d = b"\xff\xd8" + bytes(
+                rng.integers(0, 256, int(rng.integers(10, 400)), dtype=np.uint8)
+            )
+        elif mode == 1:
+            m = bytearray(base)
+            for _ in range(int(rng.integers(1, 8))):
+                m[int(rng.integers(2, len(m)))] = int(rng.integers(0, 256))
+            d = bytes(m)
+        else:
+            d = base[: int(rng.integers(4, len(base)))]
+        ra = run(d)
+        orig = jfif._native_baseline_scan
+        jfif._native_baseline_scan = lambda *a: False
+        try:
+            rb = run(d)
+        finally:
+            jfif._native_baseline_scan = orig
+        assert ra[0] == rb[0]
+        if ra[0] == "ok":
+            np.testing.assert_array_equal(ra[1], rb[1])
+        else:
+            assert ra[1] == rb[1]
+
+
 def test_no_native_env_pins_python_path(monkeypatch):
     monkeypatch.setenv("IDF_NO_NATIVE", "1")
     monkeypatch.setattr(native, "_lib", None)
