@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lang_id,
         quality_components,
         repetition_stats,
+        tfidf_topk,
         token_count,
         token_count_bpe,
         top_bigrams,
@@ -424,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_split": lambda sf: hash_split(_docs(sf)),
         "doc_leakfree_split": lambda sf: leakfree_split(_docs(sf)),
         "doc_top_bigrams": lambda sf: top_bigrams(_docs(sf), k=20),
+        "doc_tfidf_topk": lambda sf: tfidf_topk(_docs(sf), k=5),
         "doc_token_count": lambda sf: token_count(_docs(sf)),
         "doc_token_count_bpe": lambda sf: token_count_bpe(_docs(sf)),
         "doc_quality": lambda sf: quality_components(_docs(sf)),
@@ -1027,6 +1029,26 @@ def oracle_sql() -> dict[str, str]:
                    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1)
             SELECT gram, count(*) AS n FROM bi GROUP BY gram
             ORDER BY n DESC, gram LIMIT 20
+        """,
+        "doc_tfidf_topk": """
+            WITH t2 AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+                FROM documents)
+              WHERE length(term) >= 2
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t2 GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC
+                     ) AS rank
+              FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, tf, df, rank FROM scored WHERE rank <= 5
         """,
         "doc_token_count": """
             SELECT doc_id,

@@ -13,6 +13,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 # NOTE: everywhere a SQL oracle uses trim(), the Python path strips
@@ -293,6 +294,99 @@ def top_bigrams(ds: rd.Dataset, k: int = 20, n_buckets: int = 64) -> rd.Dataset:
     cand = local.to_pandas()  # <= n_buckets * k rows by construction
     out = cand.sort_values(["n", "gram"], ascending=[False, True], kind="mergesort").head(k)
     return out.reset_index(drop=True)
+
+
+_ALPHA = re.compile(r"[^a-z]+")
+
+
+def tfidf_topk(ds: rd.Dataset, k: int = 5, min_len: int = 2, n_buckets: int = 64) -> rd.Dataset:
+    """(doc_id, term, tf, df, rank): each document's k most distinctive
+    terms by TF-IDF, rank 1..k by ``tf/df`` descending with term-ascending
+    tiebreak — the standard vocabulary-weighting signal for boilerplate
+    filtering and corpus diagnostics. Tokenization is ``lower()`` +
+    split on ``[^a-z]+`` with terms shorter than ``min_len`` dropped,
+    chosen to be replicable verbatim in the DuckDB oracle
+    (``regexp_split_to_array``). Output columns are all integers/strings
+    so the driver's value hash is float-free; the ordering key
+    ``tf/df`` is the same float64 division of the same ints on both
+    sides, so ranks agree exactly.
+
+    100-TB shape: document rows NEVER shuffle. Pass 1 ships per-batch
+    Counter partials of document frequency (only distinct terms leave a
+    batch) into a bucketed exact sum — the only all-to-all, sized by
+    vocabulary, not corpus. The DF table is then broadcast once
+    (``ray.put`` of sorted term/df arrays; natural-language vocabulary
+    is sublinear in corpus size — if it outgrew worker heaps the
+    fallback is a term-keyed shuffle join, same as minhash's key
+    exchange) and pass 2 recomputes per-doc term counts in-batch,
+    resolves df by binary search, and emits each doc's local top-k."""
+    from collections import Counter
+
+    from idf.ops import bucketed_apply, get_broadcast
+
+    def tokens(text: str) -> list[str]:
+        return [t for t in _ALPHA.split(text.lower()) if len(t) >= min_len]
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for s in df["text"].fillna(""):
+            c.update(set(tokens(s)))
+        return pd.DataFrame(
+            {
+                "term": pd.Series(list(c.keys()), dtype=object),
+                "df": np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+            }
+        )
+
+    def df_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", sort=False)["df"].sum().reset_index()
+
+    dftab = bucketed_apply(
+        ds.map_batches(df_partial, batch_format="pandas"), "term", df_sum, n_buckets=n_buckets
+    ).to_pandas()  # vocabulary-sized by construction
+    if len(dftab) == 0:
+        # every token was dropped: downstream Counters are empty too, so
+        # empty lookup arrays are never indexed
+        terms_sorted = np.empty(0, dtype=object)
+        df_sorted = np.empty(0, dtype=np.int64)
+    else:
+        terms_sorted = np.sort(dftab["term"].to_numpy(dtype=object))
+        order = np.argsort(dftab["term"].to_numpy(dtype=object), kind="mergesort")
+        df_sorted = dftab["df"].to_numpy(dtype=np.int64)[order]
+    ref = ray.put((terms_sorted, df_sorted))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ts, dfs = get_broadcast(ref)
+        ids, term_o, tf_o, df_o, rk_o = [], [], [], [], []
+        for doc_id, s in zip(df["doc_id"], df["text"].fillna("")):
+            c = Counter(tokens(s))
+            if not c:
+                continue
+            t_arr = np.array(list(c.keys()), dtype=object)
+            tf_arr = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+            pos = np.searchsorted(ts, t_arr)
+            d_arr = dfs[pos]  # every term is in the DF table by construction
+            sc = tf_arr.astype(np.float64) / d_arr
+            # top-k by (score desc, term asc): term-ascending pre-sort +
+            # stable argsort on -score gives the tiebreak for free
+            o = np.argsort(t_arr, kind="mergesort")
+            o = o[np.argsort(-sc[o], kind="mergesort")][:k]
+            ids.extend([doc_id] * len(o))
+            term_o.extend(t_arr[o])
+            tf_o.extend(tf_arr[o])
+            df_o.extend(d_arr[o])
+            rk_o.extend(range(1, len(o) + 1))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "term": pd.Series(term_o, dtype=object),
+                "tf": np.asarray(tf_o, dtype=np.int64),
+                "df": np.asarray(df_o, dtype=np.int64),
+                "rank": np.asarray(rk_o, dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
 
 
 def repetition_stats(ds: rd.Dataset) -> rd.Dataset:

@@ -504,3 +504,47 @@ def test_emb_dedup_map_routes_and_closure(ray_session):
         .sort_values("vec_id")
     )
     assert list(scale["canon_id"]) == want
+
+
+def test_tfidf_topk_known_values(ray_session):
+    """Hand-checkable corpus: 'zebra' appears only in doc 0 (df=1, high
+    tf/df); 'common' appears in every doc (df=4, low score). Ranks are
+    (tf/df desc, term asc); ties broken alphabetically."""
+    from idf.functions.text import tfidf_topk
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "zebra zebra zebra common apple",
+                "common apple apple banana",
+                "common banana banana cherry",
+                "common cherry cherry apple",
+            ],
+        }
+    )
+    got = tfidf_topk(rd.from_pandas(rows), k=2).to_pandas()
+    got = got.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    # doc 0: zebra tf=3 df=1 -> 3.0 ; apple tf=1 df=3 -> 0.33 ; common 1/4
+    d0 = got[got["doc_id"] == 0]
+    assert list(d0["term"]) == ["zebra", "apple"]
+    assert list(d0["tf"]) == [3, 1] and list(d0["df"]) == [1, 3]
+    # doc 1: apple tf=2 df=3 (0.667) > banana tf=1 df=2 (0.5) > common 0.25
+    d1 = got[got["doc_id"] == 1]
+    assert list(d1["term"]) == ["apple", "banana"]
+    # every doc emits exactly k=2 rows, ranks 1..2
+    assert got.groupby("doc_id")["rank"].apply(list).map(lambda v: v == [1, 2]).all()
+
+
+def test_tfidf_topk_tiebreak_and_minlen(ray_session):
+    """Equal scores break term-ascending; 1-char tokens are dropped."""
+    from idf.functions.text import tfidf_topk
+
+    rows = pd.DataFrame({"doc_id": [7], "text": ["b a x y z c"]})
+    got = tfidf_topk(rd.from_pandas(rows), k=3).to_pandas()
+    assert len(got) == 0  # all tokens length 1 -> dropped
+
+    rows = pd.DataFrame({"doc_id": [7, 8], "text": ["bb aa", "aa bb"]})
+    got = tfidf_topk(rd.from_pandas(rows), k=2).to_pandas()
+    d7 = got[got["doc_id"] == 7].sort_values("rank")
+    assert list(d7["term"]) == ["aa", "bb"]  # same tf/df: alphabetical
