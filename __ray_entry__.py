@@ -280,6 +280,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return sessionize(ev, gap="30min", salt="1d")
 
+    def events_funnel(sf):
+        from idf.functions.relational import funnel
+
+        ev = rd.read_parquet(
+            os.path.join(sf, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+        return funnel(ev, stages=("view", "click", "purchase"))
+
+    def events_retention(sf):
+        from idf.functions.relational import retention
+
+        ev = rd.read_parquet(
+            os.path.join(sf, "events.parquet"), columns=["user_id", "ts"]
+        )
+        return retention(ev, horizon_days=14)
+
     def events_asof_orders(sf):
         from idf.functions.relational import events_asof_orders as _asof
 
@@ -417,6 +434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": events_window_agg,
         "events_sessions": events_sessions,
         "events_sessions_salted": events_sessions_salted,
+        "events_funnel": events_funnel,
+        "events_retention": events_retention,
         "events_asof_orders": events_asof_orders,
         "events_json_k": events_json_k,
         "orders_price_band": orders_price_band,
@@ -899,6 +918,41 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
               FROM supplier
             ) WHERE rn = 1
+        """,
+        # stage i resolves as the user's earliest stage-i event strictly
+        # after the resolved stage-(i-1) time — the same chain funnel()
+        # computes per bucket (merge + groupby-min per stage)
+        "events_funnel": """
+            WITH f AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s1 AS (SELECT user_id, min(ts) AS t FROM f
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN s1 USING (user_id)
+                   WHERE f.event_type = 'click' AND f.ts > s1.t GROUP BY f.user_id),
+            s3 AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN s2 USING (user_id)
+                   WHERE f.event_type = 'purchase' AND f.ts > s2.t GROUP BY f.user_id)
+            SELECT * FROM (
+              SELECT 1 AS stage, 'view' AS stage_name,
+                     (SELECT count(*) FROM s1) AS n_users
+              UNION ALL
+              SELECT 2, 'click', (SELECT count(*) FROM s2)
+              UNION ALL
+              SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            ) ORDER BY stage
+        """,
+        # distinct-day semantics; DATE minus DATE is integer days in
+        # DuckDB, matching retention()'s (.dt.days) int64
+        "events_retention": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ),
+            fd AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id)
+            SELECT (d - d0) AS offset_days, count(*) AS n_users
+            FROM ud JOIN fd USING (user_id)
+            WHERE (d - d0) <= 14
+            GROUP BY 1 ORDER BY 1
         """,
         # exact integer-cents sums (see idf/functions/relational.py:
         # plain sum(double) is summation-order-dependent and flakes the

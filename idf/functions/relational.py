@@ -423,3 +423,118 @@ def json_field(
         return pd.DataFrame(out)
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def funnel(
+    ds: rd.Dataset,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Strictly-ordered conversion funnel: (stage, stage_name, n_users)
+    where ``n_users`` counts users whose stage-i event happens strictly
+    AFTER their resolved stage-(i-1) time (stage 1 = earliest stage-1
+    event). The standard product-analytics query the reference's event
+    log invites; not expressible as a flat aggregate because stage i's
+    qualifying time depends on stage i-1's per-user resolution.
+
+    100-TB shape: rows are pre-filtered to the staged types and
+    projected to (user, ts, type) before the ONE user-keyed exchange;
+    inside each bucket the stage chain resolves vectorized (per-stage
+    groupby-min + merge — no per-user Python loop), and each bucket
+    emits exactly ``len(stages)`` partial-count rows. The driver only
+    ever sees n_buckets x len(stages) integers.
+    """
+    from idf.ops import bucketed_apply
+
+    stage_list = list(stages)
+    stage_set = set(stage_list)
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[type_col].isin(stage_set)]
+        return df[[user_col, time_col, type_col]]
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        cur = None  # per-user resolved time of the previous stage
+        for i, s in enumerate(stage_list):
+            ev = g[g[type_col] == s][[user_col, time_col]]
+            if i > 0:
+                ev = ev.merge(cur, on=user_col)
+                ev = ev[ev[time_col] > ev["__t"]][[user_col, time_col]]
+            cur = (
+                ev.groupby(user_col, sort=False)[time_col]
+                .min()
+                .rename("__t")
+                .reset_index()
+            )
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {
+                "stage": np.arange(1, len(stage_list) + 1, dtype=np.int64),
+                "n_users": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    partials = bucketed_apply(
+        ds.map_batches(prefilter, batch_format="pandas"),
+        user_col,
+        bucket_counts,
+        n_buckets=n_buckets,
+    ).to_pandas()  # bounded: n_buckets * len(stages) rows by construction
+    out = partials.groupby("stage", sort=True)["n_users"].sum().reset_index()
+    out["stage_name"] = [stage_list[i - 1] for i in out["stage"]]
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out[["stage", "stage_name", "n_users"]]
+
+
+def retention(
+    ds: rd.Dataset,
+    horizon_days: int = 14,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Cohort retention curve: (offset_days, n_users) = how many users
+    were active again exactly ``offset_days`` after their first active
+    day (offset 0 = every user with any activity). Distinct-day
+    semantics: multiple events on one day count once.
+
+    100-TB shape: each batch first collapses to its distinct
+    (user, day) pairs — the only rows that cross the ONE user-keyed
+    exchange; inside each bucket the per-user first day is a vectorized
+    groupby-min and each bucket emits at most ``horizon_days + 1``
+    partial-count rows. Driver sees n_buckets x (horizon+1) integers.
+    """
+    from idf.ops import bucketed_apply
+
+    def day_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {user_col: df[user_col], "__day": df[time_col].dt.floor("D")}
+        )
+        return out.drop_duplicates()
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()  # batches may repeat (user, day)
+        d0 = g.groupby(user_col, sort=False)["__day"].transform("min")
+        off = ((g["__day"] - d0).dt.days).to_numpy(dtype=np.int64)
+        off = off[off <= horizon_days]
+        vals, cnts = np.unique(off, return_counts=True)
+        return pd.DataFrame(
+            {
+                "offset_days": vals.astype(np.int64),
+                "n_users": cnts.astype(np.int64),
+            }
+        )
+
+    partials = bucketed_apply(
+        ds.map_batches(day_pairs, batch_format="pandas"),
+        user_col,
+        bucket_counts,
+        n_buckets=n_buckets,
+    ).to_pandas()  # bounded: n_buckets * (horizon+1) rows by construction
+    out = partials.groupby("offset_days", sort=True)["n_users"].sum().reset_index()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out[["offset_days", "n_users"]]

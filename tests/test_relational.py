@@ -436,3 +436,65 @@ def test_dedup_docs_map_driver_and_scale_paths_agree(ray_session, rng):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_funnel_strict_ordering(ray_session):
+    """A click BEFORE the first view must not convert; a click at the
+    EXACT view timestamp must not convert (strictly-after semantics)."""
+    from idf.functions.relational import funnel
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # user 1: view -> click -> purchase in order (full conversion)
+    rows += [(1, t0, "view"), (1, t0 + pd.Timedelta("1min"), "click"),
+             (1, t0 + pd.Timedelta("2min"), "purchase")]
+    # user 2: click before any view -> stops at stage 1
+    rows += [(2, t0, "click"), (2, t0 + pd.Timedelta("1min"), "view")]
+    # user 3: click at exactly the view time -> not strictly after
+    rows += [(3, t0, "view"), (3, t0, "click")]
+    # user 4: never views -> contributes nowhere
+    rows += [(4, t0, "purchase")]
+    # user 5: view, then purchase without click -> stage 1 only
+    rows += [(5, t0, "view"), (5, t0 + pd.Timedelta("1h"), "purchase")]
+    ev = rd.from_pandas(pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]))
+    got = funnel(ev).set_index("stage")
+    assert list(got["n_users"]) == [4, 1, 1]  # views: 1,2,3,5; click: 1; purchase: 1
+    assert list(got["stage_name"]) == ["view", "click", "purchase"]
+
+
+def test_funnel_second_chance_click(ray_session):
+    """Stage 2 takes the EARLIEST click after the first view, and stage 3
+    must be after THAT click — an earlier pre-view click is ignored."""
+    from idf.functions.relational import funnel
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta("1min")
+    rows = [
+        (1, t0 + 0 * m, "click"),     # ignored (before first view)
+        (1, t0 + 1 * m, "view"),
+        (1, t0 + 5 * m, "click"),     # stage-2 time = t0+5
+        (1, t0 + 3 * m, "purchase"),  # BEFORE stage-2 time -> no stage 3
+    ]
+    ev = rd.from_pandas(pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]))
+    got = funnel(ev)
+    assert list(got["n_users"]) == [1, 1, 0]
+
+
+def test_retention_known_values(ray_session):
+    """Hand-built cohort: duplicate events on one day count once; days
+    beyond the horizon are dropped; offset 0 counts every active user."""
+    from idf.functions.relational import retention
+
+    d = lambda s: pd.Timestamp(s)
+    rows = [
+        (1, d("2024-01-01 03:00")), (1, d("2024-01-01 09:00")),  # same day: once
+        (1, d("2024-01-03 00:00")),                               # offset 2
+        (2, d("2024-01-02 12:00")), (2, d("2024-01-04 01:00")),  # offsets 0, 2
+        (3, d("2024-01-01 00:00")), (3, d("2024-01-31 00:00")),  # 30 > horizon
+    ]
+    ev = rd.from_pandas(pd.DataFrame(rows, columns=["user_id", "ts"]))
+    got = retention(ev, horizon_days=14)
+    want = pd.DataFrame({"offset_days": [0, 2], "n_users": [3, 2]})
+    pd.testing.assert_frame_equal(
+        got.astype({"offset_days": "int64", "n_users": "int64"}), want
+    )
