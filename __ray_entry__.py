@@ -309,6 +309,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _asof(ev, od)
 
+    def lineitem_price_quantiles(sf):
+        from idf.functions.relational import grouped_quantiles
+
+        li = rd.read_parquet(
+            os.path.join(sf, "lineitem.parquet"),
+            columns=["l_returnflag", "l_extendedprice"],
+        )
+        return grouped_quantiles(li)
+
     def events_json_k(sf):
         from idf.functions.relational import json_field
 
@@ -440,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_k": events_json_k,
         "orders_price_band": orders_price_band,
         "lineitem_pricing_summary": lineitem_pricing_summary,
+        "lineitem_price_quantiles": lineitem_price_quantiles,
         "doc_repetition": lambda sf: repetition_stats(_docs(sf)),
         "doc_hash_split": lambda sf: hash_split(_docs(sf)),
         "doc_leakfree_split": lambda sf: leakfree_split(_docs(sf)),
@@ -1016,6 +1026,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, band FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice < hi
         """,
+        # quantile_disc picks the element at sorted index ceil(q*n)-1
+        # (verified incl. integer-crossing q*n in tests); the engine
+        # replicates that rule over its exact integer-cents histogram,
+        # and both sides emit round(x*100) cents so the hash is
+        # float-free (inputs verified free of .5 rounding ties)
+        "lineitem_price_quantiles": " UNION ALL ".join(
+            f"""
+            SELECT l_returnflag, CAST({q} AS DOUBLE) AS q,
+                   CAST(round(quantile_disc(l_extendedprice, {q}) * 100) AS BIGINT)
+                     AS value_cents
+            FROM lineitem GROUP BY l_returnflag
+            """
+            for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+        ),
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
               sum(l_quantity) AS sum_qty,

@@ -498,3 +498,55 @@ def test_retention_known_values(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"offset_days": "int64", "n_users": "int64"}), want
     )
+
+
+def test_grouped_quantiles_duckdb_rule(ray_session):
+    """The ceil(q*n)-1 selection must equal DuckDB's quantile_disc on
+    sizes where q*n crosses an integer (the rule's only hazard)."""
+    import duckdb
+
+    from idf.functions.relational import grouped_quantiles
+
+    qs = (0.01, 0.1, 0.2, 0.25, 0.5, 0.75, 0.9, 0.99)
+    rng = np.random.default_rng(7)
+    frames = []
+    for flag, n in [("A", 10), ("B", 100), ("C", 101), ("D", 7), ("E", 1)]:
+        # distinct cents values so element selection is unambiguous
+        vals = rng.choice(np.arange(1, 100000), size=n, replace=False) / 100.0
+        frames.append(pd.DataFrame({"l_returnflag": flag, "l_extendedprice": vals}))
+    pdf = pd.concat(frames, ignore_index=True)
+
+    got = grouped_quantiles(rd.from_pandas(pdf), qs=qs)
+    con = duckdb.connect()
+    con.register("li", pdf)
+    want = con.sql(
+        " UNION ALL ".join(
+            f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
+            f"CAST(round(quantile_disc(l_extendedprice, {q})*100) AS BIGINT) AS value_cents "
+            f"FROM li GROUP BY l_returnflag"
+            for q in qs
+        )
+    ).df()
+    key = ["l_returnflag", "q"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True).astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_grouped_quantiles_known_values(ray_session):
+    """n=4 group: q=0.5 -> 2nd element; q=0.75 -> 3rd; q=1.0-ish (0.99)
+    -> 4th. Histogram path must respect duplicate counts."""
+    from idf.functions.relational import grouped_quantiles
+
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": ["X"] * 4 + ["Y"] * 3,
+            # Y has a duplicated low value: cum-counts (2, 3)
+            "l_extendedprice": [1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 9.0],
+        }
+    )
+    got = grouped_quantiles(rd.from_pandas(pdf), qs=(0.5, 0.75, 0.99))
+    gx = got[got["l_returnflag"] == "X"].set_index("q")["value_cents"]
+    assert gx[0.5] == 200 and gx[0.75] == 300 and gx[0.99] == 400
+    gy = got[got["l_returnflag"] == "Y"].set_index("q")["value_cents"]
+    assert gy[0.5] == 500 and gy[0.75] == 900 and gy[0.99] == 900
