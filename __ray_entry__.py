@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from idf.functions.text import (
         fingerprint_md5,
         hash_split,
+        contamination as _contamination,
         lang_id,
         quality_components,
         repetition_stats,
@@ -455,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_leakfree_split": lambda sf: leakfree_split(_docs(sf)),
         "doc_top_bigrams": lambda sf: top_bigrams(_docs(sf), k=20),
         "doc_tfidf_topk": lambda sf: tfidf_topk(_docs(sf), k=5),
+        "doc_contamination": lambda sf: _contamination(_docs(sf)),
         "doc_token_count": lambda sf: token_count(_docs(sf)),
         "doc_token_count_bpe": lambda sf: token_count_bpe(_docs(sf)),
         "doc_quality": lambda sf: quality_components(_docs(sf)),
@@ -1107,6 +1109,34 @@ def oracle_sql() -> dict[str, str]:
                    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1)
             SELECT gram, count(*) AS n FROM bi GROUP BY gram
             ORDER BY n DESC, gram LIMIT 20
+        """,
+        # the benchmark split is doc_id % 50 = 0; a doc's n_hits counts
+        # its 5-token window POSITIONS whose gram also appears anywhere
+        # in the benchmark (lead(w,4) IS NULL marks short windows)
+        "doc_contamination": r"""
+            WITH toks AS (
+              SELECT doc_id, w, i FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+                       generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS i
+                FROM documents WHERE trim(text) <> '')
+            ),
+            grams AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                       || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS g
+              FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY lead(w, 4) OVER win IS NOT NULL
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT doc_id, count(*) AS n_hits FROM grams
+              WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
         """,
         "doc_tfidf_topk": """
             WITH t2 AS (

@@ -428,3 +428,60 @@ def repetition_stats(ds: rd.Dataset) -> rd.Dataset:
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def contamination(
+    ds: rd.Dataset, bench_mod: int = 50, n: int = 5
+) -> rd.Dataset:
+    """Benchmark decontamination scan: (doc_id, n_hits) for every
+    NON-benchmark document, where the benchmark set is the deterministic
+    ``doc_id % bench_mod == 0`` split and ``n_hits`` counts the doc's
+    token n-gram window positions that also occur anywhere in the
+    benchmark — the standard pre-training hygiene check (e.g. GPT-3
+    appendix C / PaLM's 13-gram overlap; public methodology). Tokens
+    follow the repo's oracle convention (``strip(" ").lower()`` +
+    ``\\s+`` split, exactly as ``top_bigrams``), matching
+    ``regexp_split_to_array(lower(trim(text)), '\\s+')`` in DuckDB.
+
+    100-TB shape: the benchmark side is tiny BY DEFINITION (a benchmark
+    that didn't fit in one worker's heap wouldn't be a benchmark), so
+    its distinct grams collect once on the driver and broadcast via
+    ``ray.put``; the corpus side streams — each batch tokenizes and
+    probes set membership in-process, shuffling nothing. If the
+    benchmark ever outgrew a broadcast, the fallback is the
+    gram-bucketed exchange the substring-dedup family already uses.
+    """
+    from idf.ops import get_broadcast
+
+    def grams_of(text: str) -> list[str]:
+        s = text.strip(" ").lower()
+        if not s:
+            return []
+        t = _WS.split(s)
+        return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        out: set[str] = set()
+        sel = df["doc_id"].to_numpy() % bench_mod == 0
+        for s in df.loc[sel, "text"].fillna(""):
+            out.update(grams_of(s))
+        return pd.DataFrame({"gram": pd.Series(sorted(out), dtype=object)})
+
+    parts = ds.map_batches(bench_grams, batch_format="pandas").to_pandas()
+    ref = ray.put(frozenset(parts["gram"]))  # benchmark-sized by definition
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bset = get_broadcast(ref)
+        keep = df["doc_id"].to_numpy() % bench_mod != 0
+        ids = df["doc_id"].to_numpy()[keep]
+        hits = np.fromiter(
+            (
+                sum(g in bset for g in grams_of(s))
+                for s in df.loc[keep, "text"].fillna("")
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pd.DataFrame({"doc_id": ids.astype(np.int64), "n_hits": hits})
+
+    return ds.map_batches(score, batch_format="pandas")

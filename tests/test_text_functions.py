@@ -548,3 +548,32 @@ def test_tfidf_topk_tiebreak_and_minlen(ray_session):
     got = tfidf_topk(rd.from_pandas(rows), k=2).to_pandas()
     d7 = got[got["doc_id"] == 7].sort_values("rank")
     assert list(d7["term"]) == ["aa", "bb"]  # same tf/df: alphabetical
+
+
+def test_contamination_known_values(ray_session):
+    """doc 0 and 50 are benchmark (id % 50 == 0). doc 1 embeds one
+    benchmark 5-gram at two positions (n_hits counts POSITIONS, not
+    distinct grams); doc 2 shares only a 4-gram -> 0; doc 3 too short."""
+    from idf.functions.text import contamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 50, 1, 2, 3],
+            "text": [
+                bench_text,                       # benchmark: grams include a..e, b..f
+                "unrelated benchmark words here entirely different ones",
+                # two occurrences of the same benchmark 5-gram
+                "x alpha beta gamma delta epsilon y alpha beta gamma delta epsilon z",
+                "alpha beta gamma delta DIFFERENT trailing words",  # only 4 shared
+                "alpha beta",                      # < 5 tokens: no grams
+            ],
+        }
+    )
+    got = (
+        contamination(rd.from_pandas(rows), bench_mod=50, n=5)
+        .to_pandas()
+        .set_index("doc_id")["n_hits"]
+    )
+    assert set(got.index) == {1, 2, 3}  # benchmark docs excluded from output
+    assert got[1] == 2 and got[2] == 0 and got[3] == 0
