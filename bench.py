@@ -120,7 +120,14 @@ def run_bench() -> dict:
             ).sum("n")
 
     from idf.functions.ann import dedup_embeddings_map, lsh_pairs
-    from idf.functions.relational import events_asof_orders, sessionize
+    from idf.functions.relational import (
+        events_asof_orders,
+        funnel,
+        grouped_quantiles,
+        retention,
+        sessionize,
+    )
+    from idf.functions.text import contamination, tfidf_topk
     from idf.functions.text_dedup import dedup_docs_map, substring_dup_spans
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -131,6 +138,13 @@ def run_bench() -> dict:
     od = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    ev_typed = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
     )
     named = [
         ("doc_minhash_pairs", lambda: minhash_lsh_pairs(docs, tau=0.8).count()),
@@ -145,6 +159,11 @@ def run_bench() -> dict:
         ),
         ("events_asof_orders", lambda: events_asof_orders(ev, od).count()),
         ("events_sessions", lambda: sessionize(ev).count()),
+        ("doc_tfidf_topk", lambda: tfidf_topk(docs, k=5).count()),
+        ("doc_contamination", lambda: contamination(docs).count()),
+        ("events_funnel", lambda: len(funnel(ev_typed))),
+        ("events_retention", lambda: len(retention(ev_typed))),
+        ("lineitem_price_quantiles", lambda: len(grouped_quantiles(li))),
     ]
     # best-of-N per query, same protocol as the headline
     q_reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
