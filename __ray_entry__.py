@@ -290,6 +290,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return funnel(ev, stages=("view", "click", "purchase"))
 
+    def events_top_paths(sf):
+        from idf.functions.relational import top_paths
+
+        ev = rd.read_parquet(
+            os.path.join(sf, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        return top_paths(ev, k=20)
+
     def events_retention(sf):
         from idf.functions.relational import retention
 
@@ -446,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_salted": events_sessions_salted,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
+        "events_top_paths": events_top_paths,
         "events_asof_orders": events_asof_orders,
         "events_json_k": events_json_k,
         "orders_price_band": orders_price_band,
@@ -953,6 +963,28 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 3, 'purchase', (SELECT count(*) FROM s3)
             ) ORDER BY stage
+        """,
+        # session rule identical to events_sessions (strict 30-min gap,
+        # (ts, event_id) order); path = types joined '>' per session,
+        # top-20 by (n desc, path asc)
+        "events_top_paths": """
+            WITH g AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM g
+            ), p AS (
+              SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM s GROUP BY user_id, session_id
+            )
+            SELECT path, count(*) AS n FROM p
+            GROUP BY path ORDER BY n DESC, path LIMIT 20
         """,
         # distinct-day semantics; DATE minus DATE is integer days in
         # DuckDB, matching retention()'s (.dt.days) int64

@@ -606,3 +606,87 @@ def grouped_quantiles(
     return pd.DataFrame(
         out_rows, columns=key_list + ["q", "value_cents"]
     ).astype({"q": np.float64, "value_cents": np.int64})
+
+
+def top_paths(
+    ds: rd.Dataset,
+    k: int = 20,
+    gap: str = "30min",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Top-k session paths: (path, n) — the k most common event-type
+    sequences (types joined with '>') over gap-based sessions, ties
+    broken path-ascending. Session rule identical to ``sessionize``
+    (new session when the gap STRICTLY exceeds ``gap``; events ordered
+    by (ts, order_col)) so the SQL oracle reuses that CTE.
+
+    100-TB shape: two thin exchanges. Exchange 1 keys on a hash bucket
+    of the user (same partitioning assumption as sessionize: one
+    user's events fit one task); the per-bucket kernel is the same
+    vectorized sort + diff + cumsum with a groupby string-join, and
+    only (path, count) partials leave it. Exchange 2 is the
+    ``top_bigrams`` pattern over those partials: bucketed exact sum +
+    per-bucket LOCAL top-k, so the driver merges <= n_buckets*k rows —
+    no global sort at any scale.
+    """
+    from idf.ops import bucketed_apply
+
+    gap_ns = int(pd.Timedelta(gap).value)
+
+    def bucket_paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, time_col, order_col], kind="mergesort")
+        # convert to ns explicitly: parquet timestamps are [us] and a
+        # bare astype(int64) would compare microseconds against gap_ns
+        ts = g[time_col].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+        uid = g[user_col].to_numpy()
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"path": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)}
+            )
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        brk = new_user | (np.r_[np.int64(0), np.diff(ts)] > gap_ns)
+        sid = np.cumsum(brk)
+        paths = (
+            pd.Series(g[type_col].to_numpy(dtype=object))
+            .groupby(sid)
+            .agg(">".join)
+        )
+        vc = paths.value_counts()
+        return pd.DataFrame(
+            {
+                "path": vc.index.to_numpy(dtype=object),
+                "n": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    def pruned(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[user_col, time_col, order_col, type_col]]
+
+    partials = bucketed_apply(
+        ds.map_batches(pruned, batch_format="pandas"),
+        user_col,
+        bucket_paths,
+        n_buckets=n_buckets,
+    )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("path", sort=False)["n"].sum().reset_index()
+        return agg.sort_values(
+            ["n", "path"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = bucketed_apply(partials, "path", bucket_topk, n_buckets=n_buckets).to_pandas()
+    out = (
+        cand.groupby("path", sort=False)["n"]
+        .sum()
+        .reset_index()
+        .sort_values(["n", "path"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out[["path", "n"]]

@@ -550,3 +550,70 @@ def test_grouped_quantiles_known_values(ray_session):
     assert gx[0.5] == 200 and gx[0.75] == 300 and gx[0.99] == 400
     gy = got[got["l_returnflag"] == "Y"].set_index("q")["value_cents"]
     assert gy[0.5] == 500 and gy[0.75] == 900 and gy[0.99] == 900
+
+
+def test_funnel_matches_bruteforce_random(ray_session):
+    """Randomized cross-check: funnel() vs a per-user brute-force scan
+    (sorted events, sequential stage resolution) on 40 users."""
+    from idf.functions.relational import funnel
+
+    rng = np.random.default_rng(11)
+    stages = ("view", "click", "purchase")
+    types = np.array(["view", "click", "purchase", "error", "signup"], dtype=object)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "event_type": types[rng.integers(0, len(types), n)],
+        }
+    )
+    got = funnel(rd.from_pandas(pdf), stages=stages, n_buckets=7)
+
+    want = np.zeros(len(stages), dtype=np.int64)
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts")
+        t = None
+        for i, s in enumerate(stages):
+            sel = g[(g["event_type"] == s) & ((g["ts"] > t) if t is not None else True)]
+            if not len(sel):
+                break
+            t = sel["ts"].min()
+            want[i] += 1
+    assert list(got["n_users"]) == list(want)
+
+
+def test_retention_matches_bruteforce_random(ray_session):
+    """Randomized cross-check on offsets incl. the horizon boundary."""
+    from idf.functions.relational import retention
+
+    rng = np.random.default_rng(12)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, n),
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 30 * 86400, n), unit="s"),
+        }
+    )
+    horizon = 10
+    got = retention(rd.from_pandas(pdf), horizon_days=horizon, n_buckets=5)
+
+    ud = pd.DataFrame(
+        {"user_id": pdf["user_id"], "d": pdf["ts"].dt.floor("D")}
+    ).drop_duplicates()
+    d0 = ud.groupby("user_id")["d"].transform("min")
+    off = (ud["d"] - d0).dt.days
+    want = (
+        off[off <= horizon]
+        .value_counts()
+        .sort_index()
+        .rename_axis("offset_days")
+        .rename("n_users")
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"offset_days": "int64", "n_users": "int64"}),
+        want.astype({"offset_days": "int64", "n_users": "int64"}),
+    )
