@@ -126,6 +126,7 @@ def run_bench() -> dict:
         grouped_quantiles,
         retention,
         sessionize,
+        top_paths,
     )
     from idf.functions.text import contamination, tfidf_topk
     from idf.functions.text_dedup import dedup_docs_map, substring_dup_spans
@@ -141,6 +142,10 @@ def run_bench() -> dict:
     )
     ev_typed = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    )
+    ev_paths = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
     )
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -162,6 +167,7 @@ def run_bench() -> dict:
         ("doc_tfidf_topk", lambda: tfidf_topk(docs, k=5).count()),
         ("doc_contamination", lambda: contamination(docs).count()),
         ("events_funnel", lambda: len(funnel(ev_typed))),
+        ("events_top_paths", lambda: len(top_paths(ev_paths))),
         ("events_retention", lambda: len(retention(ev_typed))),
         ("lineitem_price_quantiles", lambda: len(grouped_quantiles(li))),
     ]

@@ -617,3 +617,71 @@ def test_retention_matches_bruteforce_random(ray_session):
         got.astype({"offset_days": "int64", "n_users": "int64"}),
         want.astype({"offset_days": "int64", "n_users": "int64"}),
     )
+
+
+def test_top_paths_known_values(ray_session):
+    """Sessions split on strict 30-min gaps; path preserves (ts, id)
+    order; ties in n break path-ascending."""
+    from idf.functions.relational import top_paths
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta("1min")
+    rows = [
+        # user 1, session 1: view>click ; session 2 (gap 31min): view
+        (1, t0 + 0 * m, 1, "view"),
+        (1, t0 + 5 * m, 2, "click"),
+        (1, t0 + 36 * m, 3, "view"),
+        # user 2: exactly 30min gap does NOT split (strict >)
+        (2, t0 + 0 * m, 4, "view"),
+        (2, t0 + 30 * m, 5, "click"),
+        # user 3: same-timestamp events order by event_id
+        (3, t0, 7, "purchase"),
+        (3, t0, 6, "view"),
+    ]
+    ev = rd.from_pandas(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+    )
+    got = top_paths(ev, k=10, n_buckets=3)
+    want = pd.DataFrame(
+        {
+            "path": ["view>click", "view", "view>purchase"],
+            "n": [2, 1, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want.astype({"n": "int64"}))
+
+
+def test_top_paths_matches_bruteforce_random(ray_session):
+    """Randomized cross-check vs a driver-side pandas implementation."""
+    from idf.functions.relational import top_paths
+
+    rng = np.random.default_rng(13)
+    types = np.array(["view", "click", "purchase", "error"], dtype=object)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 30, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 4 * 86400, n), unit="s"),
+            "event_id": np.arange(n),
+            "event_type": types[rng.integers(0, len(types), n)],
+        }
+    )
+    got = top_paths(rd.from_pandas(pdf), k=15, n_buckets=7)
+
+    g = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ts = g["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+    uid = g["user_id"].to_numpy()
+    gap_ns = int(pd.Timedelta("30min").value)
+    brk = np.r_[True, (uid[1:] != uid[:-1]) | (np.diff(ts) > gap_ns)]
+    sid = np.cumsum(brk)
+    paths = pd.Series(g["event_type"].to_numpy(object)).groupby(sid).agg(">".join)
+    vc = paths.value_counts().reset_index()
+    vc.columns = ["path", "n"]
+    want = (
+        vc.sort_values(["n", "path"], ascending=[False, True], kind="mergesort")
+        .head(15)
+        .reset_index(drop=True)
+        .astype({"n": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
