@@ -108,6 +108,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def img_plan(sf):
         return _stage(sf, "plan")
 
+    def img_cluster_sizes(sf):
+        from idf.stages.cc import cluster_size_histogram
+
+        return cluster_size_histogram(_stage(sf, "clusters"))
+
     def img_apply(sf):
         import pyarrow as pa
 
@@ -435,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         "img_hashes": img_hashes,
         "img_clusters": img_clusters,
+        "img_cluster_sizes": img_cluster_sizes,
         "img_plan": img_plan,
         "img_apply": img_apply,
         "img_plan_rewrite": img_plan_rewrite,
@@ -575,6 +581,13 @@ def img_oracle_sql(sf: str) -> dict[str, str]:
             SELECT min(image_id) OVER (PARTITION BY key) AS cluster_id, image_id
             FROM memb
             QUALIFY count(*) OVER (PARTITION BY key) >= 2
+        """,
+        "img_cluster_sizes": f"""
+            SELECT cnt AS cluster_size, count(*) AS n_clusters
+            FROM (SELECT cluster_id, count(*) AS cnt
+                  FROM read_parquet('{run}/clusters/*.parquet')
+                  GROUP BY cluster_id)
+            GROUP BY cnt
         """,
         "img_plan": f"""
             WITH j AS (

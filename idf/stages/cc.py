@@ -631,3 +631,52 @@ def connected_components(
     if mode == "auto" and edges.count() > limit:
         return components_labelprop(edges)
     return components_driver(edges)
+
+
+def cluster_size_histogram(clusters: rd.Dataset, n_buckets: int = 64) -> "pd.DataFrame":
+    """(cluster_size, n_clusters): distribution of near-dup cluster
+    sizes over the clusters stage — the first diagnostic a dedup run is
+    judged by (how much mass sits in 2-member clusters vs mega-clusters;
+    the reference surfaces per-cluster member counts in its UI,
+    WebServer.java's clusters payload).
+
+    100-TB shape: member rows never leave their batches — each batch
+    ships (cluster_id, partial_count) rows, a cluster-keyed bucketed sum
+    makes exact sizes, and each bucket then collapses to its own
+    (size, count) histogram partial. The driver merges histograms whose
+    row count is bounded by the number of DISTINCT cluster sizes per
+    bucket — a few dozen values no matter the corpus."""
+    import pandas as pd
+
+    from idf.ops import bucketed_aggregate
+
+    def part(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby("cluster_id", sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    sizes = bucketed_aggregate(
+        clusters.map_batches(part, batch_format="pandas"),
+        "cluster_id",
+        {"n": ("n", "sum")},
+        n_buckets=n_buckets,
+    )
+
+    def hist(df: "pd.DataFrame") -> "pd.DataFrame":
+        vc = df["n"].value_counts()
+        return pd.DataFrame(
+            {
+                "cluster_size": vc.index.to_numpy(dtype=np.int64),
+                "n_clusters": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    h = sizes.map_batches(hist, batch_format="pandas").to_pandas()
+    out = (
+        h.groupby("cluster_size", sort=True)["n_clusters"].sum().reset_index()
+    )
+    out["n_clusters"] = out["n_clusters"].astype(np.int64)
+    return out

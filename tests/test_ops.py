@@ -269,3 +269,20 @@ def test_exchange_apply_hot_key_skew(ray_session, rng):
     )
     want = df.groupby("k")["v"].sum().reset_index(name="s")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cluster_size_histogram(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from idf.stages.cc import cluster_size_histogram
+
+    pdf = pd.DataFrame(
+        {
+            "cluster_id": ["a", "a", "b", "b", "b", "c", "c", "c"],
+            "image_id": [f"i{k}" for k in range(8)],
+        }
+    )
+    got = cluster_size_histogram(rd.from_pandas(pdf), n_buckets=3)
+    want = pd.DataFrame({"cluster_size": [2, 3], "n_clusters": [1, 2]})
+    pd.testing.assert_frame_equal(got, want.astype({"cluster_size": "int64", "n_clusters": "int64"}))
