@@ -324,6 +324,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _asof(ev, od)
 
+    def orders_rfm(sf):
+        from idf.functions.relational import rfm
+
+        od = rd.read_parquet(
+            os.path.join(sf, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        return rfm(od)
+
     def lineitem_price_quantiles(sf):
         from idf.functions.relational import grouped_quantiles
 
@@ -466,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_k": events_json_k,
         "orders_price_band": orders_price_band,
         "lineitem_pricing_summary": lineitem_pricing_summary,
+        "orders_rfm": orders_rfm,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "doc_repetition": lambda sf: repetition_stats(_docs(sf)),
         "doc_hash_split": lambda sf: hash_split(_docs(sf)),
@@ -1072,6 +1082,18 @@ def oracle_sql() -> dict[str, str]:
               (150000.0, 300000.0, 'large'), (300000.0, 1e18, 'huge'))
             SELECT o_orderkey, band FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice < hi
+        """,
+        # recency in whole days between DATE-floored order days; the
+        # corpus-wide ref day is the same max over the same dates on
+        # both sides; monetary is the module's exact integer-cents sum
+        "orders_rfm": """
+            SELECT o_custkey,
+                   CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                        (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                     AS BIGINT) AS recency_days,
+                   count(*) AS frequency,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+            FROM orders GROUP BY o_custkey
         """,
         # quantile_disc picks the element at sorted index ceil(q*n)-1
         # (verified incl. integer-crossing q*n in tests); the engine

@@ -690,3 +690,73 @@ def top_paths(
     )
     out["n"] = out["n"].astype(np.int64)
     return out[["path", "n"]]
+
+
+def rfm(
+    ds: rd.Dataset,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-customer RFM profile: (o_custkey, recency_days, frequency,
+    monetary_cents) — the classic entity-feature build. Recency is whole
+    days from the customer's latest order DAY to the corpus's latest
+    order day (both floored to dates, so the SQL oracle's DATE
+    arithmetic matches exactly); monetary is an exact integer-cents sum
+    (the module's summation-order rule).
+
+    100-TB shape: per-batch partials (one row per customer per batch:
+    max day, count, cents sum) are the only rows that cross the one
+    customer-keyed exchange; the corpus-wide max day is a scalar
+    aggregate over those same partials. Output is customer-sized.
+    """
+    from idf.ops import bucketed_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df[date_col].dt.floor("D")
+        cents = np.round(df[amount_col].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({cust_col: df[cust_col], "__day": day, "__cents": cents})
+        gb = g.groupby(cust_col, sort=False)
+        return gb.agg(
+            __maxday=("__day", "max"),
+            frequency=("__day", "size"),
+            monetary_cents=("__cents", "sum"),
+        ).reset_index()
+
+    agg = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        cust_col,
+        {
+            "__maxday": ("__maxday", "max"),
+            "frequency": ("frequency", "sum"),
+            "monetary_cents": ("monetary_cents", "sum"),
+        },
+        n_buckets=n_buckets,
+    )
+    # materialize the customer-sized exchange output once: both the
+    # scalar ref-day pass and the finish pass read the same blocks
+    # instead of re-running the exchange
+    agg = agg.materialize()
+    ref_day = (
+        agg.select_columns(["__maxday"])
+        .map_batches(
+            lambda df: pd.DataFrame({"m": [df["__maxday"].max()]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["m"]  # one row per block
+        .max()
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rec = (ref_day - df["__maxday"]).dt.days.astype(np.int64)
+        return pd.DataFrame(
+            {
+                cust_col: df[cust_col],
+                "recency_days": rec,
+                "frequency": df["frequency"].astype(np.int64),
+                "monetary_cents": df["monetary_cents"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

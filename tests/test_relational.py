@@ -685,3 +685,29 @@ def test_top_paths_matches_bruteforce_random(ray_session):
         .astype({"n": "int64"})
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_rfm_known_values(ray_session):
+    """Recency floors to DAYS (time-of-day ignored); frequency counts
+    rows; monetary sums exact cents."""
+    from idf.functions.relational import rfm
+
+    pdf = pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 2],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01 23:59", "2024-01-05 00:01", "2024-01-03 12:00"]
+            ),
+            "o_totalprice": [10.01, 0.02, 99.99],
+        }
+    )
+    got = (
+        rfm(rd.from_pandas(pdf), n_buckets=3)
+        .to_pandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    # corpus max day = 2024-01-05; cust 1 max day = 01-05 -> 0; cust 2 -> 2
+    assert list(got["recency_days"]) == [0, 2]
+    assert list(got["frequency"]) == [2, 1]
+    assert list(got["monetary_cents"]) == [1003, 9999]
