@@ -324,6 +324,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _asof(ev, od)
 
+    def events_sample_per_user(sf):
+        from idf.functions.relational import sample_per_key
+
+        ev = rd.read_parquet(
+            os.path.join(sf, "events.parquet"), columns=["user_id", "event_id"]
+        )
+        return sample_per_key(ev, key_col="user_id", order_col="event_id", k=3)
+
     def orders_rfm(sf):
         from idf.functions.relational import rfm
 
@@ -475,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_k": events_json_k,
         "orders_price_band": orders_price_band,
         "lineitem_pricing_summary": lineitem_pricing_summary,
+        "events_sample_per_user": events_sample_per_user,
         "orders_rfm": orders_rfm,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "doc_repetition": lambda sf: repetition_stats(_docs(sf)),
@@ -1082,6 +1091,19 @@ def oracle_sql() -> dict[str, str]:
               (150000.0, 300000.0, 'large'), (300000.0, 1e18, 'huge'))
             SELECT o_orderkey, band FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice < hi
+        """,
+        # rank = md5 of the event id's decimal string — identical on
+        # both sides (hashlib hex == DuckDB md5), so the draw is exactly
+        # reproducible; ties impossible (event_id unique)
+        "events_sample_per_user": """
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                     ) AS rn
+              FROM events)
+            WHERE rn <= 3
         """,
         # recency in whole days between DATE-floored order days; the
         # corpus-wide ref day is the same max over the same dates on

@@ -760,3 +760,56 @@ def rfm(
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def sample_per_key(
+    ds: rd.Dataset,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    k: int = 3,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Deterministic per-key downsample: for every key keep the k rows
+    with the smallest ``md5(str(order_col))`` — a content-keyed uniform
+    draw that is reproducible across runs, cluster widths, and engines
+    (the SQL oracle ranks by the identical ``md5(CAST(.. AS VARCHAR))``).
+    The standard per-user event-cap / per-domain page-cap step in
+    training-data curation.
+
+    100-TB shape: the md5 rank is a COMBINER — each batch keeps only its
+    local k smallest per key, so at most k rows per key per batch cross
+    the one key-bucketed exchange, and each bucket re-ranks its
+    candidates to the final k. No global sort; output is keys x k.
+    """
+    import hashlib as _hl
+
+    from idf.ops import bucketed_apply
+
+    def _rank(vals: pd.Series) -> pd.Series:
+        return vals.map(lambda v: _hl.md5(str(v).encode()).hexdigest())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                key_col: df[key_col],
+                order_col: df[order_col],
+                "__h": _rank(df[order_col]),
+            }
+        )
+        return g.sort_values(["__h", order_col]).groupby(key_col, sort=False).head(k)
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.sort_values(["__h", order_col])
+            .groupby(key_col, sort=False)
+            .head(k)
+            .drop(columns="__h")
+        )
+        return out.reset_index(drop=True)
+
+    return bucketed_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_col,
+        bucket_final,
+        n_buckets=n_buckets,
+    )

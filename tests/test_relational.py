@@ -711,3 +711,43 @@ def test_rfm_known_values(ray_session):
     assert list(got["recency_days"]) == [0, 2]
     assert list(got["frequency"]) == [2, 1]
     assert list(got["monetary_cents"]) == [1003, 9999]
+
+
+def test_sample_per_key_deterministic_and_combiner_safe(ray_session):
+    """The draw must be identical regardless of batch layout (the
+    per-batch local-k combiner must not change the global result), and
+    keys with fewer than k rows keep all rows."""
+    import hashlib
+
+    from idf.functions.relational import sample_per_key
+
+    rng = np.random.default_rng(21)
+    n = 300
+    pdf = pd.DataFrame(
+        {"user_id": rng.integers(0, 12, n), "event_id": np.arange(n)}
+    )
+    pdf = pd.concat([pdf, pd.DataFrame({"user_id": [99], "event_id": [10_000]})])
+
+    def brute(pdf, k=3):
+        h = pdf["event_id"].map(lambda v: hashlib.md5(str(v).encode()).hexdigest())
+        return (
+            pdf.assign(__h=h)
+            .sort_values(["__h", "event_id"])
+            .groupby("user_id", sort=False)
+            .head(k)
+            .drop(columns="__h")
+            .sort_values(["user_id", "event_id"])
+            .reset_index(drop=True)
+        )
+
+    want = brute(pdf)
+    for blocks in (1, 7):
+        ds = rd.from_pandas(pdf).repartition(blocks)
+        got = (
+            sample_per_key(ds, k=3, n_buckets=5)
+            .to_pandas()
+            .sort_values(["user_id", "event_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+    assert (want["user_id"] == 99).sum() == 1  # under-k key kept whole
