@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fingerprint_md5,
         hash_split,
         contamination as _contamination,
+        curation_funnel as _curation_funnel,
         lang_id,
         quality_components,
         repetition_stats,
@@ -492,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigrams": lambda sf: top_bigrams(_docs(sf), k=20),
         "doc_tfidf_topk": lambda sf: tfidf_topk(_docs(sf), k=5),
         "doc_contamination": lambda sf: _contamination(_docs(sf)),
+        "doc_curation_funnel": lambda sf: _curation_funnel(_docs(sf)),
         "doc_token_count": lambda sf: token_count(_docs(sf)),
         "doc_token_count_bpe": lambda sf: token_count_bpe(_docs(sf)),
         "doc_quality": lambda sf: quality_components(_docs(sf)),
@@ -1198,6 +1200,37 @@ def oracle_sql() -> dict[str, str]:
                    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1)
             SELECT gram, count(*) AS n FROM bi GROUP BY gram
             ORDER BY n DESC, gram LIMIT 20
+        """,
+        # stage rules composed from the already-green per-op oracles:
+        # token_count's n_tokens, lang_id's integer prediction rule
+        # (the same _lang_id_sql text, CTE-wrapped), fingerprint_md5's
+        # md5(lower(trim(text)))
+        "doc_curation_funnel": f"""
+            WITH lang AS ({_lang_id_sql()}),
+            tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS n_tokens
+              FROM documents
+            ),
+            j AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN tok t USING (doc_id) JOIN lang l USING (doc_id)
+              WHERE t.n_tokens >= 10 AND l.lang_pred = 'en'
+            ),
+            j2 AS (
+              SELECT d.doc_id FROM documents d JOIN tok t USING (doc_id)
+              WHERE t.n_tokens >= 10
+            )
+            SELECT * FROM (
+              SELECT 1 AS stage, 'total' AS stage_name,
+                     (SELECT count(*) FROM documents) AS n_docs
+              UNION ALL SELECT 2, 'min_tokens', (SELECT count(*) FROM j2)
+              UNION ALL SELECT 3, 'lang_en', (SELECT count(*) FROM j)
+              UNION ALL SELECT 4, 'exact_distinct',
+                (SELECT count(DISTINCT md5(lower(trim(text)))) FROM j)
+            ) ORDER BY stage
         """,
         # the benchmark split is doc_id % 50 = 0; a doc's n_hits counts
         # its 5-token window POSITIONS whose gram also appears anywhere

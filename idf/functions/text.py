@@ -139,46 +139,49 @@ def lang_id(ds: rd.Dataset) -> rd.Dataset:
     ``cjk/n > 0.2``); across language profiles the denominator is
     shared, so the best language maximizes the raw hit count, ties
     broken alphabetically (the iteration order of ``sorted``)."""
+    return ds.map_batches(lang_id_batch, batch_format="pandas")
+
+
+def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """``lang_id``'s per-batch kernel at module scope so composed
+    operators (``curation_funnel``) apply the IDENTICAL prediction rule.
+
+    Fully vectorized (the r1 version looped Python chars per doc for
+    the CJK count): regex counts + one explode/isin pass per profile,
+    all in pandas' C string kernels. Ties -> first alphabetical
+    language (argmax over sorted columns), all-zero hits -> 'und',
+    zh branch = exact 5*cjk > n_chars."""
     profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items() if v}
-
-    # fully vectorized batch kernel (the r1 version looped Python chars
-    # per doc for the CJK count): regex counts + one explode/isin pass
-    # per profile, all in pandas' C string kernels. Semantics preserved:
-    # ties -> first alphabetical language (argmax over sorted columns),
-    # all-zero hits -> 'und', zh branch = exact 5*cjk > n_chars.
-    def _lang_id(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"].fillna("").reset_index(drop=True)
-        n = len(texts)
-        n_chars = texts.str.len().to_numpy(np.int64)
-        cjk = texts.str.count("[一-鿿]").to_numpy(np.int64)
-        toks = texts.str.strip(" ").str.lower().str.split(r"\s+")
-        den = np.maximum(toks.map(len).to_numpy(np.int64), 1)
-        langs = sorted(profiles)
-        mat = np.zeros((n, len(langs)), dtype=np.int64)
-        ex = toks.explode()
-        for j, lang in enumerate(langs):
-            h = ex.isin(profiles[lang]).groupby(level=0).sum()
-            mat[h.index.to_numpy(), j] = h.to_numpy(np.int64)
-        best_j = mat.argmax(axis=1)
-        best_hits = mat[np.arange(n), best_j] if n else np.zeros(0, np.int64)
-        pred = np.where(
-            best_hits > 0, np.asarray(langs, dtype=object)[best_j], "und"
-        ).astype(object)
-        num = best_hits.copy()
-        zh = 5 * cjk > n_chars
-        pred[zh] = "zh"
-        num[zh] = cjk[zh]
-        den[zh] = n_chars[zh]
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "lang_pred": pred,
-                "score_num": num,
-                "score_den": den,
-            }
-        )
-
-    return ds.map_batches(_lang_id, batch_format="pandas")
+    texts = df["text"].fillna("").reset_index(drop=True)
+    n = len(texts)
+    n_chars = texts.str.len().to_numpy(np.int64)
+    cjk = texts.str.count("[一-鿿]").to_numpy(np.int64)
+    toks = texts.str.strip(" ").str.lower().str.split(r"\s+")
+    den = np.maximum(toks.map(len).to_numpy(np.int64), 1)
+    langs = sorted(profiles)
+    mat = np.zeros((n, len(langs)), dtype=np.int64)
+    ex = toks.explode()
+    for j, lang in enumerate(langs):
+        h = ex.isin(profiles[lang]).groupby(level=0).sum()
+        mat[h.index.to_numpy(), j] = h.to_numpy(np.int64)
+    best_j = mat.argmax(axis=1)
+    best_hits = mat[np.arange(n), best_j] if n else np.zeros(0, np.int64)
+    pred = np.where(
+        best_hits > 0, np.asarray(langs, dtype=object)[best_j], "und"
+    ).astype(object)
+    num = best_hits.copy()
+    zh = 5 * cjk > n_chars
+    pred[zh] = "zh"
+    num[zh] = cjk[zh]
+    den[zh] = n_chars[zh]
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(),
+            "lang_pred": pred,
+            "score_num": num,
+            "score_den": den,
+        }
+    )
 
 
 def fingerprint_md5(ds: rd.Dataset) -> rd.Dataset:
@@ -485,3 +488,76 @@ def contamination(
         return pd.DataFrame({"doc_id": ids.astype(np.int64), "n_hits": hits})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def curation_funnel(
+    ds: rd.Dataset, min_tokens: int = 10, lang: str = "en", n_buckets: int = 64
+) -> pd.DataFrame:
+    """Corpus curation funnel: (stage, stage_name, n_docs) — how many
+    documents survive each filter of a standard pre-training cleanup:
+    1 total -> 2 ``n_tokens >= min_tokens`` -> 3 ``lang_pred == lang``
+    (the EXACT ``lang_id_batch`` rule) -> 4 distinct after exact dedup
+    (``md5(lower(trim(text)))`` fingerprints, the ``fingerprint_md5``
+    rule). The one-look diagnostic a curation run is summarized by.
+
+    100-TB shape: two streaming passes, neither shuffling document
+    rows. Pass 1 emits one (n_docs, n_ok2, n_ok3) partial row per batch
+    (driver sums blocks-many triples). Pass 2 re-derives stage-3
+    survivors and ships only their DISTINCT-within-batch fingerprints
+    into a fp-bucketed distinct count — fingerprint-sized, the same
+    exchange discipline as exact dedup. (Deliberately two passes: a
+    single pass would have to materialize a corpus-row-sized derived
+    table to serve both the counts and the distinct; re-scanning the
+    pruned text column streams instead.)
+    """
+
+    def _survivors(df: pd.DataFrame):
+        lp = lang_id_batch(df)
+        texts = df["text"].fillna("").str.strip(" ")
+        ntok = texts.map(lambda s: len(_WS.split(s)) if s else 0).to_numpy(np.int64)
+        ok2 = ntok >= min_tokens
+        ok3 = ok2 & (lp["lang_pred"].to_numpy(dtype=object) == lang)
+        return texts, ok2, ok3
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        _, ok2, ok3 = _survivors(df)
+        return pd.DataFrame(
+            {
+                "n_docs": np.asarray([len(df)], dtype=np.int64),
+                "n_ok2": np.asarray([int(ok2.sum())], dtype=np.int64),
+                "n_ok3": np.asarray([int(ok3.sum())], dtype=np.int64),
+            }
+        )
+
+    c = ds.map_batches(counts, batch_format="pandas").to_pandas()  # one row/batch
+    n_total, n2, n3 = (int(c[k].sum()) for k in ("n_docs", "n_ok2", "n_ok3"))
+
+    def fps(df: pd.DataFrame) -> pd.DataFrame:
+        texts, _, ok3 = _survivors(df)
+        u = (
+            texts[ok3]
+            .str.lower()
+            .map(lambda s: hashlib.md5(s.encode()).hexdigest())
+            .drop_duplicates()
+        )
+        return pd.DataFrame({"fp": u.to_numpy(dtype=object)})
+
+    from idf.ops import bucketed_apply
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": np.asarray([g["fp"].nunique()], dtype=np.int64)}
+        )
+
+    d = bucketed_apply(
+        ds.map_batches(fps, batch_format="pandas"), "fp", bucket_distinct, n_buckets
+    ).to_pandas()  # one row per bucket
+    n4 = int(d["n"].sum())
+
+    return pd.DataFrame(
+        {
+            "stage": np.arange(1, 5, dtype=np.int64),
+            "stage_name": ["total", "min_tokens", f"lang_{lang}", "exact_distinct"],
+            "n_docs": np.asarray([n_total, n2, n3, n4], dtype=np.int64),
+        }
+    )

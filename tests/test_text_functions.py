@@ -577,3 +577,25 @@ def test_contamination_known_values(ray_session):
     )
     assert set(got.index) == {1, 2, 3}  # benchmark docs excluded from output
     assert got[1] == 2 and got[2] == 0 and got[3] == 0
+
+
+def test_curation_funnel_known_values(ray_session):
+    """Hand-built corpus where every stage drops exactly one doc: short
+    (stage 2), German (stage 3), exact dup of an English doc (stage 4)."""
+    from idf.functions.text import curation_funnel
+
+    en = "the quick fox is running to the barn and it is raining for hours"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                en,                                     # survives everything
+                en,                                     # exact dup -> merged in stage 4
+                "short text",                           # < 10 tokens
+                "der hund und die katze ist ein tier zu den haus mit von",  # de
+            ],
+        }
+    )
+    got = curation_funnel(rd.from_pandas(rows), min_tokens=10, lang="en", n_buckets=3)
+    assert list(got["n_docs"]) == [4, 3, 2, 1]
+    assert list(got["stage_name"]) == ["total", "min_tokens", "lang_en", "exact_distinct"]
