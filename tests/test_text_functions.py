@@ -599,3 +599,34 @@ def test_curation_funnel_known_values(ray_session):
     got = curation_funnel(rd.from_pandas(rows), min_tokens=10, lang="en", n_buckets=3)
     assert list(got["n_docs"]) == [4, 3, 2, 1]
     assert list(got["stage_name"]) == ["total", "min_tokens", "lang_en", "exact_distinct"]
+
+
+def test_contamination_matches_bruteforce_random(ray_session):
+    """Randomized cross-check: block layout and broadcast must not
+    change hit counts vs a single-process reference."""
+    from idf.functions.text import contamination
+
+    rng = np.random.default_rng(31)
+    vocab = np.array([f"w{i}" for i in range(30)], dtype=object)
+    rows = []
+    for did in range(120):
+        n = rng.integers(0, 15)
+        rows.append((did, " ".join(vocab[rng.integers(0, len(vocab), n)])))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    def grams(s, n=3):
+        t = s.strip(" ").lower().split()
+        return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+    bench = set()
+    for _, r in pdf[pdf["doc_id"] % 10 == 0].iterrows():
+        bench.update(grams(r["text"]))
+    want = {
+        int(r["doc_id"]): sum(g in bench for g in grams(r["text"]))
+        for _, r in pdf[pdf["doc_id"] % 10 != 0].iterrows()
+    }
+
+    for blocks in (1, 9):
+        ds = rd.from_pandas(pdf).repartition(blocks)
+        got = contamination(ds, bench_mod=10, n=3).to_pandas()
+        assert dict(zip(got["doc_id"], got["n_hits"])) == want
