@@ -114,6 +114,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cluster_size_histogram(_stage(sf, "clusters"))
 
+    def img_pair_dist(sf):
+        from idf.stages.candidates import pair_distance_histogram
+
+        import glob
+
+        run = _img_run(sf)
+        files = sorted(
+            glob.glob(os.path.join(run, "edges_band", "*.parquet"))
+        ) + sorted(glob.glob(os.path.join(run, "edges_caption", "*.parquet")))
+        ed = rd.read_parquet(files, columns=["phash_a", "phash_b"])
+        return pair_distance_histogram(ed)
+
     def img_apply(sf):
         import pyarrow as pa
 
@@ -459,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_hashes": img_hashes,
         "img_clusters": img_clusters,
         "img_cluster_sizes": img_cluster_sizes,
+        "img_pair_dist": img_pair_dist,
         "img_plan": img_plan,
         "img_apply": img_apply,
         "img_plan_rewrite": img_plan_rewrite,
@@ -602,6 +615,20 @@ def img_oracle_sql(sf: str) -> dict[str, str]:
             SELECT min(image_id) OVER (PARTITION BY key) AS cluster_id, image_id
             FROM memb
             QUALIFY count(*) OVER (PARTITION BY key) >= 2
+        """,
+        # DuckDB bit_count on BIGINT counts two's-complement bits =
+        # popcount64 on the int64 view; pairs deduped after (lo,hi)
+        # normalization on both sides
+        "img_pair_dist": f"""
+            WITH {edges_cte},
+            p AS (
+              SELECT DISTINCT least(phash_a, phash_b) AS a,
+                              greatest(phash_a, phash_b) AS b
+              FROM e
+            )
+            SELECT bit_count(xor(a, b))::BIGINT AS hamming_dist,
+                   count(*) AS n_pairs
+            FROM p GROUP BY 1
         """,
         "img_cluster_sizes": f"""
             SELECT cnt AS cluster_size, count(*) AS n_clusters

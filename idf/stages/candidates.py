@@ -502,3 +502,50 @@ def _cpus() -> int:
     from idf.ops import available_cpus
 
     return available_cpus()
+
+
+def pair_distance_histogram(edges: rd.Dataset, n_buckets: int = 64) -> pd.DataFrame:
+    """(hamming_dist, n_pairs): distribution of Hamming distances over
+    the DISTINCT verified candidate pairs — the one-look diagnostic of a
+    radius/threshold choice (mass near the radius boundary means the
+    threshold is doing work; reference analog: Hamming.java's
+    ``Long.bitCount(a ^ b)``, the quantity its BK-tree ranges over).
+
+    100-TB shape: pairs are normalized to (lo, hi) and deduped
+    IN-BATCH before the one pair-keyed exchange (the same partial-
+    distinct discipline as exact dedup), each bucket re-dedupes its
+    co-located pairs and emits a <=65-row distance histogram partial,
+    and the driver sums n_buckets such histograms.
+    """
+    from idf.ops import bucketed_apply
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["phash_a"].to_numpy(dtype=np.int64)
+        b = df["phash_b"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {"pair_lo": np.minimum(a, b), "pair_hi": np.maximum(a, b)}
+        )
+        return out.drop_duplicates()
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        x = g["pair_lo"].to_numpy(dtype=np.int64).view(np.uint64)
+        y = g["pair_hi"].to_numpy(dtype=np.int64).view(np.uint64)
+        d = popcount64(np.bitwise_xor(x, y))
+        vals, cnts = np.unique(d, return_counts=True)
+        return pd.DataFrame(
+            {
+                "hamming_dist": vals.astype(np.int64),
+                "n_pairs": cnts.astype(np.int64),
+            }
+        )
+
+    h = bucketed_apply(
+        edges.map_batches(norm, batch_format="pandas"),
+        ["pair_lo", "pair_hi"],
+        bucket_hist,
+        n_buckets=n_buckets,
+    ).to_pandas()  # bounded: n_buckets x <=65 rows
+    out = h.groupby("hamming_dist", sort=True)["n_pairs"].sum().reset_index()
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out

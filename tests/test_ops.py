@@ -286,3 +286,26 @@ def test_cluster_size_histogram(ray_session):
     got = cluster_size_histogram(rd.from_pandas(pdf), n_buckets=3)
     want = pd.DataFrame({"cluster_size": [2, 3], "n_clusters": [1, 2]})
     pd.testing.assert_frame_equal(got, want.astype({"cluster_size": "int64", "n_clusters": "int64"}))
+
+
+def test_pair_distance_histogram(ray_session):
+    """(a,b)/(b,a) and cross-source repeats collapse to one pair; the
+    distance is Long.bitCount(a ^ b) on the int64 bit pattern."""
+    import pandas as pd
+    import ray.data as rd
+
+    from idf.stages.candidates import pair_distance_histogram
+
+    pdf = pd.DataFrame(
+        {
+            "phash_a": [0b1011, 0b0011, 5, -1, 7],
+            "phash_b": [0b0011, 0b1011, 5 ^ 0b111, 0, 7 ^ (1 << 62)],
+        }
+    )
+    got = pair_distance_histogram(rd.from_pandas(pdf).repartition(3), n_buckets=3)
+    # pairs: {3,11} d=1 (deduped from two orderings); {5,2} d=3;
+    # {-1,0} d=64; {7, 7^2^62} d=1
+    want = pd.DataFrame({"hamming_dist": [1, 3, 64], "n_pairs": [2, 1, 1]})
+    pd.testing.assert_frame_equal(
+        got, want.astype({"hamming_dist": "int64", "n_pairs": "int64"})
+    )
