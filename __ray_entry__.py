@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         hash_split,
         contamination as _contamination,
         curation_funnel as _curation_funnel,
+        packing_stats as _packing_stats,
         lang_id,
         quality_components,
         repetition_stats,
@@ -507,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": lambda sf: tfidf_topk(_docs(sf), k=5),
         "doc_contamination": lambda sf: _contamination(_docs(sf)),
         "doc_curation_funnel": lambda sf: _curation_funnel(_docs(sf)),
+        "doc_packing_stats": lambda sf: _packing_stats(_docs(sf)),
         "doc_token_count": lambda sf: token_count(_docs(sf)),
         "doc_token_count_bpe": lambda sf: token_count_bpe(_docs(sf)),
         "doc_quality": lambda sf: quality_components(_docs(sf)),
@@ -1227,6 +1229,19 @@ def oracle_sql() -> dict[str, str]:
                    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1)
             SELECT gram, count(*) AS n FROM bi GROUP BY gram
             ORDER BY n DESC, gram LIMIT 20
+        """,
+        # ceil-div via integer arithmetic; token rule = doc_token_count
+        "doc_packing_stats": """
+            WITH t AS (
+              SELECT CASE WHEN trim(text) = '' THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS n_tokens
+              FROM documents
+            )
+            SELECT count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens_total,
+                   sum((n_tokens + 1023) // 1024)::BIGINT AS n_slots
+            FROM t
         """,
         # stage rules composed from the already-green per-op oracles:
         # token_count's n_tokens, lang_id's integer prediction rule

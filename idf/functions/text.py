@@ -561,3 +561,36 @@ def curation_funnel(
             "n_docs": np.asarray([n_total, n2, n3, n4], dtype=np.int64),
         }
     )
+
+
+def packing_stats(ds: rd.Dataset, seq_len: int = 1024) -> pd.DataFrame:
+    """One-row training-budget estimate: (n_docs, n_tokens_total,
+    n_slots) where ``n_slots = sum(ceil(n_tokens / seq_len))`` — the
+    number of fixed-length sequence slots the corpus fills if every
+    document is padded into its own slots (the pre-packing upper bound
+    planners size training runs with). Token rule = ``token_count``.
+
+    100-TB shape: a pure combiner — each batch emits one 3-int partial
+    row; the driver sums blocks-many rows. Nothing shuffles.
+    """
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").str.strip(" ")
+        ntok = texts.map(lambda s: len(_WS.split(s)) if s else 0).to_numpy(np.int64)
+        slots = -(-ntok // seq_len)  # ceil-div; 0-token docs take 0 slots
+        return pd.DataFrame(
+            {
+                "n_docs": np.asarray([len(df)], dtype=np.int64),
+                "n_tokens_total": np.asarray([int(ntok.sum())], dtype=np.int64),
+                "n_slots": np.asarray([int(slots.sum())], dtype=np.int64),
+            }
+        )
+
+    c = ds.map_batches(part, batch_format="pandas").to_pandas()  # one row/batch
+    return pd.DataFrame(
+        {
+            "n_docs": [int(c["n_docs"].sum())],
+            "n_tokens_total": [int(c["n_tokens_total"].sum())],
+            "n_slots": [int(c["n_slots"].sum())],
+        }
+    ).astype(np.int64)

@@ -630,3 +630,18 @@ def test_contamination_matches_bruteforce_random(ray_session):
         ds = rd.from_pandas(pdf).repartition(blocks)
         got = contamination(ds, bench_mod=10, n=3).to_pandas()
         assert dict(zip(got["doc_id"], got["n_hits"])) == want
+
+
+def test_packing_stats_known_values(ray_session):
+    """ceil-div slots: 0-token doc -> 0 slots; 1 token -> 1; 1024 -> 1;
+    1025 -> 2."""
+    from idf.functions.text import packing_stats
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["", "one", " ".join(["t"] * 1024), " ".join(["t"] * 1025)],
+        }
+    )
+    got = packing_stats(rd.from_pandas(rows), seq_len=1024)
+    assert got.iloc[0].tolist() == [4, 1 + 1024 + 1025, 0 + 1 + 1 + 2]
