@@ -346,6 +346,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return sample_per_key(ev, key_col="user_id", order_col="event_id", k=3)
 
+    def cust_no_orders(sf):
+        from idf.functions.relational import customers_without_orders
+
+        cust = rd.read_parquet(os.path.join(sf, "customer.parquet"))
+        od = rd.read_parquet(
+            os.path.join(sf, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+        return customers_without_orders(cust, od, min_totalprice=300000.0)
+
     def orders_rfm(sf):
         from idf.functions.relational import rfm
 
@@ -499,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_band": orders_price_band,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "events_sample_per_user": events_sample_per_user,
+        "cust_no_orders": cust_no_orders,
         "orders_rfm": orders_rfm,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "doc_repetition": lambda sf: repetition_stats(_docs(sf)),
@@ -1122,6 +1133,11 @@ def oracle_sql() -> dict[str, str]:
               (150000.0, 300000.0, 'large'), (300000.0, 1e18, 'huge'))
             SELECT o_orderkey, band FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice < hi
+        """,
+        "cust_no_orders": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         """,
         # rank = md5 of the event id's decimal string — identical on
         # both sides (hashlib hex == DuckDB md5), so the draw is exactly

@@ -813,3 +813,37 @@ def sample_per_key(
         bucket_final,
         n_buckets=n_buckets,
     )
+
+
+def customers_without_orders(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    min_totalprice: float = 0.0,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """(c_custkey, c_nationkey): anti join — customers with NO order
+    above ``min_totalprice`` — via the engine's large-side
+    set-membership path (``ops.set_membership_join``): the probe side
+    never broadcasts, one co-grouping shuffle carries the customer rows
+    once.
+
+    100-TB shape: the qualifying order keys first collapse to per-batch
+    distinct then a key-bucketed global distinct (orders never ship
+    whole), so the join's right side is unique-keyed as
+    ``set_membership_join`` requires; both sides are column-pruned
+    before shuffling.
+    """
+    from idf.ops import bucketed_apply, set_membership_join
+
+    def keys_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["o_custkey"][df["o_totalprice"] > min_totalprice]
+        return pd.DataFrame({"c_custkey": sel.unique()})
+
+    okeys = bucketed_apply(
+        orders.map_batches(keys_partial, batch_format="pandas"),
+        "c_custkey",
+        lambda g: g.drop_duplicates(),
+        n_buckets=n_buckets,
+    )
+    pruned = customer.select_columns(["c_custkey", "c_nationkey"])
+    return set_membership_join(pruned, "c_custkey", okeys, negate=True)

@@ -751,3 +751,32 @@ def test_sample_per_key_deterministic_and_combiner_safe(ray_session):
         )
         pd.testing.assert_frame_equal(got[want.columns], want)
     assert (want["user_id"] == 99).sum() == 1  # under-k key kept whole
+
+
+def test_customers_without_orders_anti_join(ray_session):
+    """Anti-join semantics: only customers whose every order is at or
+    below the threshold survive; order-less customers survive too."""
+    from idf.functions.relational import customers_without_orders
+
+    cust = pd.DataFrame(
+        {"c_custkey": [1, 2, 3, 4], "c_nationkey": [10, 11, 12, 13],
+         "c_name": list("abcd"), "c_acctbal": [0.0] * 4, "c_mktsegment": ["x"] * 4}
+    )
+    orders = pd.DataFrame(
+        {
+            "o_custkey": [1, 1, 2, 3],
+            "o_totalprice": [50.0, 500.0, 100.0, 400.0],
+        }
+    )
+    got = (
+        customers_without_orders(
+            rd.from_pandas(cust), rd.from_pandas(orders), min_totalprice=300.0,
+            n_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    # cust 1 has a 500 order (out), 3 has 400 (out); 2 only 100 (in); 4 none (in)
+    assert list(got["c_custkey"]) == [2, 4]
+    assert list(got.columns) == ["c_custkey", "c_nationkey"]
