@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         contamination as _contamination,
         curation_funnel as _curation_funnel,
         packing_stats as _packing_stats,
+        langid_confusion as _langid_confusion,
         lang_id,
         quality_components,
         repetition_stats,
@@ -309,6 +310,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return funnel(ev, stages=("view", "click", "purchase"))
 
+    def events_transitions(sf):
+        from idf.functions.relational import transitions
+
+        ev = rd.read_parquet(
+            os.path.join(sf, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        return transitions(ev)
+
     def events_top_paths(sf):
         from idf.functions.relational import top_paths
 
@@ -503,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_salted": events_sessions_salted,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
+        "events_transitions": events_transitions,
         "events_top_paths": events_top_paths,
         "events_asof_orders": events_asof_orders,
         "events_json_k": events_json_k,
@@ -520,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": lambda sf: _contamination(_docs(sf)),
         "doc_curation_funnel": lambda sf: _curation_funnel(_docs(sf)),
         "doc_packing_stats": lambda sf: _packing_stats(_docs(sf)),
+        "doc_langid_confusion": lambda sf: _langid_confusion(_docs(sf)),
         "doc_token_count": lambda sf: token_count(_docs(sf)),
         "doc_token_count_bpe": lambda sf: token_count_bpe(_docs(sf)),
         "doc_quality": lambda sf: quality_components(_docs(sf)),
@@ -1038,6 +1050,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT 3, 'purchase', (SELECT count(*) FROM s3)
             ) ORDER BY stage
         """,
+        "events_transitions": """
+            SELECT type_from, type_to, count(*) AS n FROM (
+              SELECT event_type AS type_from,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS type_to
+              FROM events)
+            WHERE type_to IS NOT NULL
+            GROUP BY type_from, type_to
+        """,
         # session rule identical to events_sessions (strict 30-min gap,
         # (ts, event_id) order); path = types joined '>' per session,
         # top-20 by (n desc, path asc)
@@ -1359,6 +1381,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
         "doc_fingerprint": "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
         "doc_lang_id": _lang_id_sql(),
+        # joins the SAME prediction CTE against the table's labeled lang
+        "doc_langid_confusion": f"""
+            WITH pred AS ({_lang_id_sql()})
+            SELECT d.lang, p.lang_pred, count(*) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.lang_pred
+        """,
         "doc_winnow_fp": _winnow_sql(),
         "doc_token_count_bpe": r"""
             SELECT doc_id,

@@ -847,3 +847,54 @@ def customers_without_orders(
     )
     pruned = customer.select_columns(["c_custkey", "c_nationkey"])
     return set_membership_join(pruned, "c_custkey", okeys, negate=True)
+
+
+def transitions(
+    ds: rd.Dataset,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """(type_from, type_to, n): Markov transition counts between each
+    user's CONSECUTIVE events in (ts, order_col) order — the behavioral
+    transition matrix (what follows what) that complements ``top_paths``
+    (whole sequences) and ``funnel`` (one prescribed order).
+
+    100-TB shape: one user-keyed exchange (the sessionize partitioning
+    assumption), a vectorized per-bucket sort + shift compare, and each
+    bucket emits its local (from, to) count cells — bounded by
+    #event-types², a few dozen rows — which the driver merges.
+    """
+    from idf.ops import bucketed_apply
+
+    def pruned(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[user_col, time_col, order_col, type_col]]
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, time_col, order_col], kind="mergesort")
+        uid = g[user_col].to_numpy()
+        ty = g[type_col].to_numpy(dtype=object)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "type_from": pd.Series([], dtype=object),
+                    "type_to": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({"type_from": ty[:-1][same], "type_to": ty[1:][same]})
+        c = out.groupby(["type_from", "type_to"], sort=False).size().rename("n")
+        return c.reset_index()
+
+    h = bucketed_apply(
+        ds.map_batches(pruned, batch_format="pandas"),
+        user_col,
+        bucket_counts,
+        n_buckets=n_buckets,
+    ).to_pandas()  # bounded: n_buckets x #types^2
+    out = h.groupby(["type_from", "type_to"], sort=True)["n"].sum().reset_index()
+    out["n"] = out["n"].astype(np.int64)
+    return out

@@ -594,3 +594,34 @@ def packing_stats(ds: rd.Dataset, seq_len: int = 1024) -> pd.DataFrame:
             "n_slots": [int(c["n_slots"].sum())],
         }
     ).astype(np.int64)
+
+
+def langid_confusion(ds: rd.Dataset, n_buckets: int = 16) -> pd.DataFrame:
+    """(lang, lang_pred, n): confusion matrix of the heuristic language
+    ID against the table's labeled ``lang`` column — the evaluation
+    every classifier-shaped curation filter needs before it gates data.
+    Uses the EXACT ``lang_id_batch`` kernel, so the matrix measures the
+    deployed rule, not a reimplementation.
+
+    100-TB shape: a pure combiner — each batch emits its local
+    (lang, pred) count cells (bounded by #languages², a few dozen), one
+    tiny bucketed sum, driver merges cells.
+    """
+    from idf.ops import bucketed_aggregate
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        lp = lang_id_batch(df)
+        g = pd.DataFrame(
+            {"lang": df["lang"].to_numpy(dtype=object), "lang_pred": lp["lang_pred"]}
+        )
+        out = g.groupby(["lang", "lang_pred"], sort=False).size().rename("n")
+        return out.reset_index()
+
+    agg = bucketed_aggregate(
+        ds.map_batches(part, batch_format="pandas"),
+        ["lang", "lang_pred"],
+        {"n": ("n", "sum")},
+        n_buckets=n_buckets,
+    ).to_pandas()  # bounded by #languages^2 cells
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg.sort_values(["lang", "lang_pred"]).reset_index(drop=True)

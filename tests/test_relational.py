@@ -780,3 +780,29 @@ def test_customers_without_orders_anti_join(ray_session):
     # cust 1 has a 500 order (out), 3 has 400 (out); 2 only 100 (in); 4 none (in)
     assert list(got["c_custkey"]) == [2, 4]
     assert list(got.columns) == ["c_custkey", "c_nationkey"]
+
+
+def test_transitions_known_values(ray_session):
+    """Pairs only within a user; (ts, event_id) ordering decides
+    same-timestamp neighbors."""
+    from idf.functions.relational import transitions
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta("1s")
+    rows = [
+        (1, t0, 1, "a"), (1, t0 + s, 2, "b"), (1, t0 + 2 * s, 3, "a"),
+        (2, t0, 4, "b"), (2, t0, 5, "a"),  # same ts: order by event_id -> b->a
+        (3, t0, 6, "a"),                    # singleton: no transition
+    ]
+    ev = rd.from_pandas(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+    )
+    got = transitions(ev, n_buckets=3)
+    want = pd.DataFrame(
+        {"type_from": ["a", "b", "b"], "type_to": ["b", "a", "a"], "n": [1, 1, 1]}
+    )
+    # (a->b):1 from user1; (b->a): user1 has one, user2 has one -> merged
+    want = (
+        want.groupby(["type_from", "type_to"], sort=True)["n"].sum().reset_index()
+    )
+    pd.testing.assert_frame_equal(got, want.astype({"n": "int64"}))
