@@ -356,6 +356,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return sample_per_key(ev, key_col="user_id", order_col="event_id", k=3)
 
+    def nation_revenue(sf):
+        from idf.functions.relational import nation_revenue_by_year
+
+        cust = rd.read_parquet(
+            os.path.join(sf, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+        )
+        od = rd.read_parquet(
+            os.path.join(sf, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        li = rd.read_parquet(
+            os.path.join(sf, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        na = rd.read_parquet(os.path.join(sf, "nation.parquet"))
+        return nation_revenue_by_year(cust, od, li, na)
+
     def cust_no_orders(sf):
         from idf.functions.relational import customers_without_orders
 
@@ -520,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_band": orders_price_band,
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "events_sample_per_user": events_sample_per_user,
+        "nation_revenue": nation_revenue,
         "cust_no_orders": cust_no_orders,
         "orders_rfm": orders_rfm,
         "lineitem_price_quantiles": lineitem_price_quantiles,
@@ -1155,6 +1173,22 @@ def oracle_sql() -> dict[str, str]:
               (150000.0, 300000.0, 'large'), (300000.0, 1e18, 'huge'))
             SELECT o_orderkey, band FROM orders JOIN bands
               ON o_totalprice >= lo AND o_totalprice < hi
+        """,
+        # same exact integer discounted-mills as pricing_summary
+        "nation_revenue": """
+            SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   count(*) AS n_orders,
+                   sum(rev.dmills) AS revenue_dmills
+            FROM (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS dmills
+              FROM lineitem GROUP BY l_orderkey
+            ) rev
+            JOIN orders o ON o.o_orderkey = rev.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1, 2
         """,
         "cust_no_orders": """
             SELECT c_custkey, c_nationkey FROM customer

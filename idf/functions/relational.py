@@ -898,3 +898,99 @@ def transitions(
     out = h.groupby(["type_from", "type_to"], sort=True)["n"].sum().reset_index()
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+def nation_revenue_by_year(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    nation: rd.Dataset,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """(n_name, o_year, n_orders, revenue_dmills): discounted revenue
+    rolled up nation x order-year across the 3-table star
+    (lineitem -> orders -> customer, nation broadcast) — the TPC-H-Q5
+    shape. Revenue uses ``pricing_summary``'s exact integer
+    discounted-mills (``round(price*(1-disc)*1e4)``), summed as int64
+    on both sides, so the hash is summation-order-free; ``n_orders``
+    counts orders that have lineitems (inner semantics throughout).
+
+    100-TB shape: the fact table collapses FIRST — lineitem emits
+    per-batch (orderkey, dmills) partials into an orderkey-bucketed
+    exact sum, so the biggest join input is order-sized, not
+    lineitem-sized. Two co-grouping hash joins (orderkey, custkey)
+    with column-pruned sides, each preceded by a partial aggregate
+    that shrinks rows before the exchange; the 25-row nation map is a
+    `ray.put` broadcast, never a shuffle. The final rollup is
+    #nations x #years cells.
+    """
+    from idf.ops import broadcast_lookup, bucketed_aggregate, hash_join
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dmills = np.round(
+            df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy()) * 10_000
+        ).astype(np.int64)
+        g = pd.DataFrame({"o_orderkey": df["l_orderkey"], "__dmills": dmills})
+        return (
+            g.groupby("o_orderkey", sort=False)["__dmills"].sum().reset_index()
+        )
+
+    rev = bucketed_aggregate(
+        lineitem.map_batches(li_partial, batch_format="pandas"),
+        "o_orderkey",
+        {"__dmills": ("__dmills", "sum")},
+        n_buckets=n_buckets,
+    )
+
+    def o_pruned(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "c_custkey": df["o_custkey"],
+                "o_year": df["o_orderdate"].dt.year.astype(np.int64),
+            }
+        )
+
+    j1 = hash_join(rev, orders.map_batches(o_pruned, batch_format="pandas"), on="o_orderkey")
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["c_custkey", "o_year"], sort=False)
+        return g.agg(
+            n_orders=("__dmills", "size"), __dmills=("__dmills", "sum")
+        ).reset_index()
+
+    per_cust = bucketed_aggregate(
+        j1.map_batches(cust_partial, batch_format="pandas"),
+        ["c_custkey", "o_year"],
+        {"n_orders": ("n_orders", "sum"), "__dmills": ("__dmills", "sum")},
+        n_buckets=n_buckets,
+    )
+
+    j2 = hash_join(
+        per_cust,
+        customer.select_columns(["c_custkey", "c_nationkey"]),
+        on="c_custkey",
+    )
+    ndf = nation.to_pandas()  # 25 rows by construction
+    nmap = dict(zip(ndf["n_nationkey"], ndf["n_name"]))
+    named = broadcast_lookup(j2, "c_nationkey", nmap, "n_name")
+
+    def roll_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["n_name", "o_year"], sort=False)
+        return g.agg(
+            n_orders=("n_orders", "sum"), revenue_dmills=("__dmills", "sum")
+        ).reset_index()
+
+    out = bucketed_aggregate(
+        named.map_batches(roll_partial, batch_format="pandas"),
+        ["n_name", "o_year"],
+        {"n_orders": ("n_orders", "sum"), "revenue_dmills": ("revenue_dmills", "sum")},
+        n_buckets=16,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("o_year", "n_orders", "revenue_dmills"):
+            df[c] = df[c].astype(np.int64)
+        return df[["n_name", "o_year", "n_orders", "revenue_dmills"]]
+
+    return out.map_batches(finish, batch_format="pandas")

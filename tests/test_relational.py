@@ -806,3 +806,53 @@ def test_transitions_known_values(ray_session):
         want.groupby(["type_from", "type_to"], sort=True)["n"].sum().reset_index()
     )
     pd.testing.assert_frame_equal(got, want.astype({"n": "int64"}))
+
+
+def test_nation_revenue_by_year_known_values(ray_session):
+    """Tiny star: one customer with two orders in different years, one
+    order with two lineitems (dmills sum), an order with no lineitems
+    (dropped by inner semantics)."""
+    from idf.functions.relational import nation_revenue_by_year
+
+    cust = pd.DataFrame({"c_custkey": [1, 2], "c_nationkey": [0, 1]})
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [10, 11, 12, 13],
+            "o_custkey": [1, 1, 2, 2],
+            "o_orderdate": pd.to_datetime(
+                ["2023-05-01", "2024-01-01", "2024-06-01", "2024-07-01"]
+            ),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [10, 10, 11, 12],  # order 13 has no lineitems
+            "l_extendedprice": [100.0, 50.0, 10.0, 1.0],
+            "l_discount": [0.10, 0.0, 0.05, 0.0],
+        }
+    )
+    nation = pd.DataFrame({"n_nationkey": [0, 1], "n_name": ["ALGERIA", "ARGENTINA"],
+                           "n_regionkey": [0, 1]})
+    got = (
+        nation_revenue_by_year(
+            rd.from_pandas(cust), rd.from_pandas(orders), rd.from_pandas(li),
+            rd.from_pandas(nation), n_buckets=3,
+        )
+        .to_pandas()
+        .sort_values(["n_name", "o_year"])
+        .reset_index(drop=True)
+    )
+    # order 10 (2023): 100*0.9 + 50 = 140.0 -> 1_400_000 dmills
+    # order 11 (2024): 10*0.95 = 9.5 -> 95_000 ; order 12: 1.0 -> 10_000
+    want = pd.DataFrame(
+        {
+            "n_name": ["ALGERIA", "ALGERIA", "ARGENTINA"],
+            "o_year": [2023, 2024, 2024],
+            "n_orders": [1, 1, 1],
+            "revenue_dmills": [1_400_000, 95_000, 10_000],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got, want.astype({"o_year": "int64", "n_orders": "int64",
+                          "revenue_dmills": "int64"})
+    )
