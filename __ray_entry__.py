@@ -373,6 +373,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         na = rd.read_parquet(os.path.join(sf, "nation.parquet"))
         return nation_revenue_by_year(cust, od, li, na)
 
+    def region_revenue(sf):
+        from idf.functions.relational import region_revenue_by_year
+
+        cust = rd.read_parquet(
+            os.path.join(sf, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+        )
+        od = rd.read_parquet(
+            os.path.join(sf, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        li = rd.read_parquet(
+            os.path.join(sf, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        na = rd.read_parquet(os.path.join(sf, "nation.parquet"))
+        re = rd.read_parquet(os.path.join(sf, "region.parquet"))
+        return region_revenue_by_year(cust, od, li, na, re)
+
+    def part_revenue(sf):
+        from idf.functions.relational import part_type_revenue
+
+        li = rd.read_parquet(
+            os.path.join(sf, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        pt = rd.read_parquet(
+            os.path.join(sf, "part.parquet"), columns=["p_partkey", "p_type"]
+        )
+        return part_type_revenue(li, pt)
+
     def cust_no_orders(sf):
         from idf.functions.relational import customers_without_orders
 
@@ -538,6 +568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": lineitem_pricing_summary,
         "events_sample_per_user": events_sample_per_user,
         "nation_revenue": nation_revenue,
+        "region_revenue": region_revenue,
+        "part_revenue": part_revenue,
         "cust_no_orders": cust_no_orders,
         "orders_rfm": orders_rfm,
         "lineitem_price_quantiles": lineitem_price_quantiles,
@@ -1189,6 +1221,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON c.c_custkey = o.o_custkey
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY 1, 2
+        """,
+        "region_revenue": """
+            SELECT r.r_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   count(*) AS n_orders,
+                   sum(rev.dmills) AS revenue_dmills
+            FROM (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS dmills
+              FROM lineitem GROUP BY l_orderkey
+            ) rev
+            JOIN orders o ON o.o_orderkey = rev.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2
+        """,
+        "part_revenue": """
+            SELECT p.p_type,
+                   count(*) AS n_lineitems,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                       AS BIGINT)) AS revenue_dmills
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_type
         """,
         "cust_no_orders": """
             SELECT c_custkey, c_nationkey FROM customer

@@ -906,6 +906,8 @@ def nation_revenue_by_year(
     lineitem: rd.Dataset,
     nation: rd.Dataset,
     n_buckets: int = 64,
+    name_map: dict | None = None,
+    name_col: str = "n_name",
 ) -> rd.Dataset:
     """(n_name, o_year, n_orders, revenue_dmills): discounted revenue
     rolled up nation x order-year across the 3-table star
@@ -971,19 +973,20 @@ def nation_revenue_by_year(
         customer.select_columns(["c_custkey", "c_nationkey"]),
         on="c_custkey",
     )
-    ndf = nation.to_pandas()  # 25 rows by construction
-    nmap = dict(zip(ndf["n_nationkey"], ndf["n_name"]))
-    named = broadcast_lookup(j2, "c_nationkey", nmap, "n_name")
+    if name_map is None:
+        ndf = nation.to_pandas()  # 25 rows by construction
+        name_map = dict(zip(ndf["n_nationkey"], ndf["n_name"]))
+    named = broadcast_lookup(j2, "c_nationkey", name_map, name_col)
 
     def roll_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["n_name", "o_year"], sort=False)
+        g = df.groupby([name_col, "o_year"], sort=False)
         return g.agg(
             n_orders=("n_orders", "sum"), revenue_dmills=("__dmills", "sum")
         ).reset_index()
 
     out = bucketed_aggregate(
         named.map_batches(roll_partial, batch_format="pandas"),
-        ["n_name", "o_year"],
+        [name_col, "o_year"],
         {"n_orders": ("n_orders", "sum"), "revenue_dmills": ("revenue_dmills", "sum")},
         n_buckets=16,
     )
@@ -991,6 +994,80 @@ def nation_revenue_by_year(
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         for c in ("o_year", "n_orders", "revenue_dmills"):
             df[c] = df[c].astype(np.int64)
-        return df[["n_name", "o_year", "n_orders", "revenue_dmills"]]
+        return df[[name_col, "o_year", "n_orders", "revenue_dmills"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def region_revenue_by_year(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    nation: rd.Dataset,
+    region: rd.Dataset,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """(r_name, o_year, n_orders, revenue_dmills): the Q5 rollup one
+    level up the geography dimension. nation x region (25 x 5 rows)
+    compose into ONE nationkey -> region-name map on the driver, so the
+    fact path is byte-identical to ``nation_revenue_by_year`` — a
+    dimension snowflake never costs an extra shuffle."""
+    ndf = nation.to_pandas()
+    rdf = region.to_pandas()
+    rname = dict(zip(rdf["r_regionkey"], rdf["r_name"]))
+    nmap = {
+        int(k): rname[int(rk)]
+        for k, rk in zip(ndf["n_nationkey"], ndf["n_regionkey"])
+    }
+    return nation_revenue_by_year(
+        customer, orders, lineitem, nation,
+        n_buckets=n_buckets, name_map=nmap, name_col="r_name",
+    )
+
+
+def part_type_revenue(
+    lineitem: rd.Dataset, part: rd.Dataset, n_buckets: int = 64
+) -> rd.Dataset:
+    """(p_type, n_lineitems, revenue_dmills): discounted revenue by part
+    type (the Q14-ish product-dimension rollup). The fact side collapses
+    to per-partkey partials BEFORE the one co-grouping hash join with
+    the column-pruned part table; the final rollup is #types cells."""
+    from idf.ops import bucketed_aggregate, hash_join
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dmills = np.round(
+            df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy()) * 10_000
+        ).astype(np.int64)
+        g = pd.DataFrame({"p_partkey": df["l_partkey"], "__dmills": dmills})
+        gb = g.groupby("p_partkey", sort=False)
+        return gb.agg(
+            n_lineitems=("__dmills", "size"), __dmills=("__dmills", "sum")
+        ).reset_index()
+
+    per_part = bucketed_aggregate(
+        lineitem.map_batches(li_partial, batch_format="pandas"),
+        "p_partkey",
+        {"n_lineitems": ("n_lineitems", "sum"), "__dmills": ("__dmills", "sum")},
+        n_buckets=n_buckets,
+    )
+    j = hash_join(per_part, part.select_columns(["p_partkey", "p_type"]), on="p_partkey")
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_type", sort=False)
+        return g.agg(
+            n_lineitems=("n_lineitems", "sum"), revenue_dmills=("__dmills", "sum")
+        ).reset_index()
+
+    out = bucketed_aggregate(
+        j.map_batches(roll, batch_format="pandas"),
+        "p_type",
+        {"n_lineitems": ("n_lineitems", "sum"), "revenue_dmills": ("revenue_dmills", "sum")},
+        n_buckets=8,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_lineitems", "revenue_dmills"):
+            df[c] = df[c].astype(np.int64)
+        return df[["p_type", "n_lineitems", "revenue_dmills"]]
 
     return out.map_batches(finish, batch_format="pandas")
