@@ -280,6 +280,15 @@ def events_asof_orders(events: rd.Dataset, orders: rd.Dataset) -> rd.Dataset:
 #   dmills     = round(price*(1-disc)*1e4)   -> sum_disc_price
 #   cmicros    = round(price*(1-disc)*(1+tax)*1e6) -> sum_charge
 #   qty (integral doubles), disc cents, row count
+def _discounted_mills(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    """round(price*(1-disc)*1e4) as exact int64 — the module's
+    discounted-revenue parity rule. Every revenue operator
+    (pricing_summary, nation/region/part rollups) and every matching
+    DuckDB oracle hash against THIS exact expression; change it in one
+    place or not at all."""
+    return np.round(price * (1 - disc) * 10_000).astype(np.int64)
+
+
 def pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> pd.DataFrame:
     """TPC-H-Q1-shaped pricing summary over lineitem.
 
@@ -314,7 +323,7 @@ def pricing_summary(lineitem: rd.Dataset, cutoff: str = "1998-09-02") -> pd.Data
                 "l_linestatus": df["l_linestatus"].to_numpy(),
                 "qty": df["l_quantity"].to_numpy().astype(np.int64),
                 "cents": np.round(price * 100).astype(np.int64),
-                "dmills": np.round(price * (1 - disc) * 10_000).astype(np.int64),
+                "dmills": _discounted_mills(price, disc),
                 "cmicros": np.round(price * (1 - disc) * (1 + tax) * 1_000_000).astype(
                     np.int64
                 ),
@@ -738,15 +747,7 @@ def rfm(
     # scalar ref-day pass and the finish pass read the same blocks
     # instead of re-running the exchange
     agg = agg.materialize()
-    ref_day = (
-        agg.select_columns(["__maxday"])
-        .map_batches(
-            lambda df: pd.DataFrame({"m": [df["__maxday"].max()]}),
-            batch_format="pandas",
-        )
-        .to_pandas()["m"]  # one row per block
-        .max()
-    )
+    ref_day = agg.max("__maxday")  # Dataset.max handles datetime64
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         rec = (ref_day - df["__maxday"]).dt.days.astype(np.int64)
@@ -929,9 +930,9 @@ def nation_revenue_by_year(
     from idf.ops import broadcast_lookup, bucketed_aggregate, hash_join
 
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
-        dmills = np.round(
-            df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy()) * 10_000
-        ).astype(np.int64)
+        dmills = _discounted_mills(
+            df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy()
+        )
         g = pd.DataFrame({"o_orderkey": df["l_orderkey"], "__dmills": dmills})
         return (
             g.groupby("o_orderkey", sort=False)["__dmills"].sum().reset_index()
@@ -1035,9 +1036,9 @@ def part_type_revenue(
     from idf.ops import bucketed_aggregate, hash_join
 
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
-        dmills = np.round(
-            df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy()) * 10_000
-        ).astype(np.int64)
+        dmills = _discounted_mills(
+            df["l_extendedprice"].to_numpy(), df["l_discount"].to_numpy()
+        )
         g = pd.DataFrame({"p_partkey": df["l_partkey"], "__dmills": dmills})
         gb = g.groupby("p_partkey", sort=False)
         return gb.agg(
