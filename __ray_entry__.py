@@ -509,6 +509,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return rewrite_plan(plan, updates)
 
+    def img_caption_exact(sf):
+        """Exact-duplicate caption groups over the image+caption table
+        (the north-rule input shape), column-pruned to (image_id,
+        caption) — the bytes column never leaves storage. Reuses the
+        doc exact-dedup machinery: md5-keyed bucketed group-min."""
+        from idf.ops import bucketed_apply
+        from idf.synth import CACHE_TAG, sf_from_dir
+
+        import pandas as pd
+
+        imgs = rd.read_parquet(
+            f"/tmp/idf_cache/images_{CACHE_TAG}_sf{sf_from_dir(sf)}",
+            columns=["image_id", "caption"],
+        )
+
+        def fp(df: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+
+            return pd.DataFrame(
+                {
+                    "image_id": df["image_id"],
+                    "cap_fp": df["caption"]
+                    .fillna("")
+                    .map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+                }
+            )
+
+        def grp(g: pd.DataFrame) -> pd.DataFrame:
+            sizes = g.groupby("cap_fp")["image_id"].transform("size")
+            canon = g.groupby("cap_fp")["image_id"].transform("min")
+            out = g.assign(caption_group=canon)[sizes >= 2]
+            return out[["caption_group", "image_id"]]
+
+        return bucketed_apply(
+            imgs.map_batches(fp, batch_format="pandas"), "cap_fp", grp, 64
+        )
+
     def img_fetch(sf):
         from idf.stages.web import fetch_images_digest
         from idf.synth import CACHE_TAG, sf_from_dir
@@ -543,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_plan": img_plan,
         "img_apply": img_apply,
         "img_plan_rewrite": img_plan_rewrite,
+        "img_caption_exact": img_caption_exact,
         "img_fetch": img_fetch,
         "img_thumbs": img_thumbs,
         # multimodal (rows-only: SQL cannot parse WAV/y4m bytes): REAL
@@ -750,6 +788,15 @@ def img_oracle_sql(sf: str) -> dict[str, str]:
                         ELSE action END AS action,
                    image_id, reason, pixels, size
             FROM read_parquet('{run}/plan/*.parquet')
+        """,
+        # caption exact-dup groups over the pruned (image_id, caption)
+        # projection; canonical id = lexicographic min member
+        "img_caption_exact": f"""
+            SELECT min(image_id) OVER (PARTITION BY md5(coalesce(caption, ''))) 
+                     AS caption_group,
+                   image_id
+            FROM read_parquet('{imgs}/*.parquet')
+            QUALIFY count(*) OVER (PARTITION BY md5(coalesce(caption, ''))) >= 2
         """,
         # S10: byte fetch for an md5-selected id page; md5(hex(bytes))
         # == python md5(data.hex().upper()) pins the exact payload

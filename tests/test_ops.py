@@ -309,3 +309,49 @@ def test_pair_distance_histogram(ray_session):
     pd.testing.assert_frame_equal(
         got, want.astype({"hamming_dist": "int64", "n_pairs": "int64"})
     )
+
+
+def test_img_caption_exact_groups(ray_session):
+    """Caption exact-dup groups: canonical = lexicographic min id;
+    singletons drop; null captions group with empty string."""
+    import pandas as pd
+    import ray.data as rd
+
+    import __ray_entry__  # noqa: F401 — pattern under test lives there
+    from idf.ops import bucketed_apply
+
+    imgs = pd.DataFrame(
+        {
+            "image_id": ["b", "a", "c", "d", "e"],
+            "caption": ["same cap", "same cap", "unique", None, ""],
+        }
+    )
+
+    def fp(df):
+        import hashlib
+
+        return pd.DataFrame(
+            {
+                "image_id": df["image_id"],
+                "cap_fp": df["caption"].fillna("").map(
+                    lambda s: hashlib.md5(s.encode()).hexdigest()
+                ),
+            }
+        )
+
+    def grp(g):
+        sizes = g.groupby("cap_fp")["image_id"].transform("size")
+        canon = g.groupby("cap_fp")["image_id"].transform("min")
+        out = g.assign(caption_group=canon)[sizes >= 2]
+        return out[["caption_group", "image_id"]]
+
+    got = (
+        bucketed_apply(rd.from_pandas(imgs).map_batches(fp, batch_format="pandas"),
+                       "cap_fp", grp, 3)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    # groups: {a,b} canon 'a'; {d(null), e('')} canon 'd'; 'c' singleton drops
+    assert list(got["image_id"]) == ["a", "b", "d", "e"]
+    assert list(got["caption_group"]) == ["a", "a", "d", "d"]
