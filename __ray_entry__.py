@@ -413,6 +413,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return customers_without_orders(cust, od, min_totalprice=300000.0)
 
+    def cust_bloom_members(sf):
+        """Bloom-filter semi-join: customers whose key hits the filter
+        built over high-value orders' custkeys — true members plus the
+        md5 family's DETERMINISTIC false positives, which is what makes
+        the whole filter (not just the exact join) oracle-checkable."""
+        from idf.functions.membership import bloom_semi_join_keys
+
+        od = rd.read_parquet(
+            os.path.join(sf, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        ).filter(expr="o_totalprice > 150000")
+        cu = rd.read_parquet(
+            os.path.join(sf, "customer.parquet"), columns=["c_custkey"]
+        )
+        return bloom_semi_join_keys(
+            od, "o_custkey", cu, "c_custkey", m=1 << 17, k=4, mode="md5"
+        )
+
     def orders_rfm(sf):
         from idf.functions.relational import rfm
 
@@ -609,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": region_revenue,
         "part_revenue": part_revenue,
         "cust_no_orders": cust_no_orders,
+        "cust_bloom_members": cust_bloom_members,
         "orders_rfm": orders_rfm,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "doc_repetition": lambda sf: repetition_stats(_docs(sf)),
@@ -1297,6 +1316,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_nationkey FROM customer
             WHERE c_custkey NOT IN
               (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        # Exact SQL twin of the m=2^17/k=4 md5 Bloom filter: position_i
+        # = md5_number_lower(i||':'||key) % m replicates the engine's
+        # md5_low64 bit-for-bit, so the false-positive set (not just the
+        # true members) is identical by construction.
+        "cust_bloom_members": """
+            WITH ks AS (SELECT unnest(range(4)) AS i),
+            build_pos AS (
+              SELECT DISTINCT
+                md5_number_lower(i::VARCHAR || ':' || o_custkey::VARCHAR)
+                  % 131072 AS pos
+              FROM orders, ks WHERE o_totalprice > 150000
+            ),
+            probe AS (
+              SELECT c_custkey, i,
+                md5_number_lower(i::VARCHAR || ':' || c_custkey::VARCHAR)
+                  % 131072 AS pos
+              FROM customer, ks
+            )
+            SELECT c_custkey FROM probe JOIN build_pos USING (pos)
+            GROUP BY c_custkey HAVING count(DISTINCT i) = 4
+            ORDER BY c_custkey
         """,
         # rank = md5 of the event id's decimal string — identical on
         # both sides (hashlib hex == DuckDB md5), so the draw is exactly

@@ -13,6 +13,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -463,12 +464,14 @@ def contamination(
         t = _WS.split(s)
         return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
 
-    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+    def bench_grams(df: pd.DataFrame):
         out: set[str] = set()
         sel = df["doc_id"].to_numpy() % bench_mod == 0
         for s in df.loc[sel, "text"].fillna(""):
             out.update(grams_of(s))
-        return pd.DataFrame({"gram": pd.Series(sorted(out), dtype=object)})
+        # typed Arrow column: a zero-row object Series trips Ray's
+        # block-size estimator (np.vectorize on size-0 input)
+        return pa.table({"gram": pa.array(sorted(out), type=pa.string())})
 
     parts = ds.map_batches(bench_grams, batch_format="pandas").to_pandas()
     ref = ray.put(frozenset(parts["gram"]))  # benchmark-sized by definition
