@@ -40,6 +40,65 @@ def _stage(sf_dir: str, name: str):
     return read_stage(_img_run(sf_dir), name)
 
 
+def _img_incr_run(sf_dir: str) -> str:
+    """Incremental dedup twin of ``_img_run``: split the cached corpus
+    deterministically into base (~7/8) and delta (~1/8) tables, run the
+    full pipeline on the base, then run the INCREMENTAL pipeline
+    (decode only the delta, union the base's committed hashes stage).
+    The oracle for ``img_clusters_incr`` is the FULL-recompute SQL over
+    ``_img_run``'s stages, so the driver hash-checks incremental ==
+    full recompute end to end."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from idf.config import DedupConfig
+    from idf.kernels.minhash import md5_low64
+    from idf.pipelines.dedup import run_dedup
+    from idf.synth import CACHE_TAG, ensure_images_cache, sf_from_dir
+
+    _img_run(sf_dir)  # corpus + the full run the oracle compares against
+    images = ensure_images_cache(sf_dir)
+    root = f"/tmp/idf_cache/incr_{CACHE_TAG}_sf{sf_from_dir(sf_dir)}"
+    base_t, delta_t = os.path.join(root, "base_images"), os.path.join(root, "delta_images")
+    marker = os.path.join(root, ".split_done")
+    if not os.path.exists(marker):
+        os.makedirs(base_t, exist_ok=True)
+        os.makedirs(delta_t, exist_ok=True)
+        ds = pads.dataset(images)
+        wb = wd = None
+        try:
+            # stream fragment-by-fragment: the corpus never materializes
+            for frag in ds.get_fragments():
+                t = frag.to_table()
+                ids = t["image_id"].to_pylist()
+                mask = np.array([md5_low64(s) % 8 == 0 for s in ids])
+                if wb is None:
+                    wb = pq.ParquetWriter(os.path.join(base_t, "part.parquet"), t.schema)
+                    wd = pq.ParquetWriter(os.path.join(delta_t, "part.parquet"), t.schema)
+                wb.write_table(t.filter(~mask))
+                wd.write_table(t.filter(mask))
+        finally:
+            if wb is not None:
+                wb.close()
+            if wd is not None:
+                wd.close()
+        with open(marker, "w") as f:
+            f.write("ok")
+    base_run = os.path.join(root, "base_run")
+    incr_run = os.path.join(root, "incr_run")
+    run_dedup(base_t, base_run, DedupConfig(), resume=True, do_apply=False)
+    run_dedup(
+        delta_t,
+        incr_run,
+        DedupConfig(),
+        resume=True,
+        do_apply=False,
+        base_hashes_dir=os.path.join(base_run, "hashes"),
+    )
+    return incr_run
+
+
 def entry() -> Any:
     """Flagship: full dedup pipeline at sf0.001; returns the plan table."""
     return _stage("/root/testdata/sf0.001", "plan")
@@ -107,6 +166,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def img_clusters(sf):
         return _stage(sf, "clusters")
+
+    def img_clusters_incr(sf):
+        """Incremental dedup: base run + delta-only decode; the oracle
+        is the FULL-recompute SQL, so the gate hash-checks that the
+        incremental path reproduces the full run's clusters exactly."""
+        from idf.pipelines.dedup import read_stage
+
+        return read_stage(_img_incr_run(sf), "clusters")
 
     def img_plan(sf):
         return _stage(sf, "plan")
@@ -593,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         "img_hashes": img_hashes,
         "img_clusters": img_clusters,
+        "img_clusters_incr": img_clusters_incr,
         "img_cluster_sizes": img_cluster_sizes,
         "img_pair_dist": img_pair_dist,
         "img_plan": img_plan,
@@ -724,8 +792,7 @@ def img_oracle_sql(sf: str) -> dict[str, str]:
     edges_cte = f"""e AS (
               SELECT phash_a, phash_b FROM read_parquet([{band_files}])
             )"""
-    return {
-        "img_clusters": f"""
+    clusters_sql = f"""
             WITH RECURSIVE {edges_cte},
             und AS (
               SELECT phash_a AS src, phash_b AS dst FROM e
@@ -747,7 +814,13 @@ def img_oracle_sql(sf: str) -> dict[str, str]:
             SELECT min(image_id) OVER (PARTITION BY key) AS cluster_id, image_id
             FROM memb
             QUALIFY count(*) OVER (PARTITION BY key) >= 2
-        """,
+        """
+    return {
+        "img_clusters": clusters_sql,
+        # the incremental run must reproduce the FULL run's clusters:
+        # same SQL, derived from the full-recompute stage parquet, so a
+        # hash match proves incremental == full end to end
+        "img_clusters_incr": clusters_sql,
         # DuckDB bit_count on BIGINT counts two's-complement bits =
         # popcount64 on the int64 view; pairs deduped after (lo,hi)
         # normalization on both sides

@@ -44,7 +44,17 @@ def run_dedup(
     cfg: DedupConfig | None = None,
     resume: bool = True,
     do_apply: bool = True,
+    base_hashes_dir: str | None = None,
 ) -> RunManifest:
+    """Run the dedup pipeline; ``base_hashes_dir`` makes it INCREMENTAL:
+    ``images_path`` is only the NEW (delta) images, and the committed
+    hashes stage of a previous run is unioned in unchanged — the decode
+    (the expensive stage) runs over the delta alone, while distinct /
+    banding / CC / plan recompute over the union, so the output is
+    byte-identical to a full recompute over base∪delta (pinned by
+    tests/test_incremental.py and the img_clusters_incr driver query).
+    The delta's image_ids must be disjoint from the base's, and both
+    runs must hash in the same mode (schemas are checked)."""
     cfg = cfg or DedupConfig()
     # resolve 'auto' ONCE so every downstream gate sees a bool; record
     # the decision in the manifest for observability
@@ -61,7 +71,23 @@ def run_dedup(
     # plasma between ReadParquet and the decode operator)
     from idf.stages.hash_stage import fused_hash_stage
 
-    hashes_dir = man.run_stage("hashes", lambda: fused_hash_stage(images_path, cfg))
+    def _build_hashes() -> rd.Dataset:
+        delta = fused_hash_stage(images_path, cfg)
+        if base_hashes_dir is None:
+            return delta
+        base_schema = pads.dataset(base_hashes_dir).schema
+        delta_names = delta.schema().names
+        if sorted(base_schema.names) != sorted(delta_names):
+            raise RuntimeError(
+                "incremental run hash-schema mismatch: base stage has "
+                f"{base_schema.names}, delta produces {delta_names} — "
+                "base and delta must hash in the same mode (pin "
+                "use_precomputed_phash explicitly on both runs)"
+            )
+        # align column ORDER so the unioned stage writes one schema
+        return _read(base_hashes_dir, columns=delta_names).union(delta)
+
+    hashes_dir = man.run_stage("hashes", _build_hashes)
     ok_filter = pads.field("status") == "ok"
 
     # skip/ok counters -> manifest metrics (the reference's stderr skips,
