@@ -151,8 +151,19 @@ def run_bench() -> dict:
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_extendedprice"],
     )
+    from idf.functions.membership import bloom_semi_join_keys
+
+    cu = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
     named = [
         ("doc_minhash_pairs", lambda: minhash_lsh_pairs(docs, tau=0.8).count()),
+        (
+            "cust_bloom_members",
+            lambda: bloom_semi_join_keys(
+                od.select_columns(["o_custkey"]), "o_custkey", cu, "c_custkey", mode="fast"
+            ).count(),
+        ),
         ("doc_ngram_pairs", lambda: ngram_jaccard_pairs(docs, tau=0.6).count()),
         ("doc_substring_spans", lambda: substring_dup_spans(docs, min_len=30).count()),
         ("doc_dedup_map", lambda: dedup_docs_map(docs, tau=0.8).count()),
