@@ -77,11 +77,15 @@ class AudioFeaturizer:
     N_MEL = 16  # toy filterbank size
 
     def __init__(self, strict: bool = False):
+        from idf.codecs.flac import MAGIC as FLAC_MAGIC
+        from idf.codecs.flac import decode_flac
         from idf.codecs.wav import MAGIC, decode_wav
 
         self.strict = strict
         self._wav_magic = MAGIC
         self._decode_wav = decode_wav
+        self._flac_magic = FLAC_MAGIC
+        self._decode_flac = decode_flac
         # per-actor state: a deterministic "filterbank" (model-load analog)
         rng = np.random.default_rng(1234)
         self.filterbank = rng.standard_normal((self.N_MEL, 128)).astype(np.float32)
@@ -91,9 +95,12 @@ class AudioFeaturizer:
         if bytes(data[:4]) == self._wav_magic:
             x, sr = self._decode_wav(data)  # REAL decode
             return x.mean(axis=1) if x.shape[1] > 1 else x[:, 0], sr
+        if bytes(data[:4]) == self._flac_magic:
+            x, sr = self._decode_flac(data)  # REAL compressed decode
+            return x.mean(axis=1) if x.shape[1] > 1 else x[:, 0], sr
         if self.strict:
             raise NotImplementedError(
-                "non-WAV audio decode requires a codec library not present in this container"
+                "lossy audio decode (mp3/aac) requires a codec library not present in this container"
             )
         return _stub_pcm(bytes(data[:64])), 16000  # STAND-IN (non-WAV only)
 
@@ -194,11 +201,17 @@ class VideoFrameSampler:
         )
 
 
-def audio_features(audio: rd.Dataset, concurrency: int | None = None) -> rd.Dataset:
-    """Actor-pool feature extraction (setup once per actor)."""
+def audio_features(
+    audio: rd.Dataset, concurrency: int | None = None, strict: bool = False
+) -> rd.Dataset:
+    """Actor-pool feature extraction (setup once per actor).
+
+    WAV and FLAC rows decode for real; ``strict=True`` raises on the
+    remaining lossy formats instead of taking the pseudo-PCM stand-in."""
     kw = {"concurrency": (1, concurrency)} if concurrency else {"concurrency": (1, 4)}
     return audio.map_batches(
         AudioFeaturizer,
+        fn_constructor_kwargs={"strict": strict},
         batch_format="pyarrow",
         batch_size=64,  # media payloads are large: small batches
         zero_copy_batch=True,
@@ -314,13 +327,18 @@ def image_thumbnails(
 
 def synth_audio_table(n: int = 64, seed: int = 0) -> pa.Table:
     """Deterministic synthetic audio table (AUDIO_SCHEMA): REAL 16-bit
-    PCM WAV bytes — seeded sine + harmonic + noise mixes, so feature
-    outputs (rms, zcr, duration) have closed-form pytest oracles."""
+    PCM — seeded sine + harmonic + noise mixes, so feature outputs
+    (rms, zcr, duration) have closed-form pytest oracles. Every 4th
+    clip ships as compressed FLAC (idf/codecs/flac.py), the rest as
+    RIFF/WAV; both carry the IDENTICAL int16 payload, so the feature
+    stage's output is container-invariant (pinned in tests)."""
+    from idf.codecs.flac import encode_flac
     from idf.codecs.wav import encode_wav
 
     rng = np.random.default_rng(seed)
     sr = 16000
     blobs = []
+    fmts = []
     for i in range(n):
         freq = float(rng.uniform(80, 2000))
         amp = float(rng.uniform(0.2, 0.9))
@@ -329,14 +347,21 @@ def synth_audio_table(n: int = 64, seed: int = 0) -> pa.Table:
         x = amp * np.sin(2 * np.pi * freq * t)
         x += 0.1 * amp * np.sin(2 * np.pi * 2 * freq * t)  # harmonic
         x += rng.normal(0, 0.01, x.size)  # noise floor
-        blobs.append(encode_wav(np.clip(x, -1, 1), sr, bits=16))
+        x = np.clip(x, -1, 1)
+        if i % 4 == 3:
+            xi = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int64)
+            blobs.append(encode_flac(xi, sr, bits=16, block_size=2048))
+            fmts.append("flac")
+        else:
+            blobs.append(encode_wav(x, sr, bits=16))
+            fmts.append("wav")
     return pa.table(
         {
             "media_id": [f"a{i:05d}" for i in range(n)],
             "bytes": pa.array(blobs, pa.binary()),
             "sample_rate": pa.array([sr] * n, pa.int32()),
             "n_channels": pa.array([1] * n, pa.int32()),
-            "fmt": ["wav"] * n,
+            "fmt": fmts,
         },
         schema=AUDIO_SCHEMA,
     )

@@ -55,17 +55,21 @@ def _junk_video_table(n=1):
 
 
 def test_audio_features_real_wav(ray_session):
-    """Features over REAL WAV bytes: deterministic, and the scalar
+    """Features over REAL WAV/FLAC bytes: deterministic, and the scalar
     features match the codec's own decode (pytest oracle)."""
+    from idf.codecs.flac import decode_flac
     from idf.codecs.wav import decode_wav
 
     t = synth_audio_table(12)
+    assert set(t["fmt"].to_pylist()) == {"wav", "flac"}  # both containers present
     out = audio_features(rd.from_arrow(t)).to_pandas()
     assert len(out) == 12
     assert all(len(f) == AudioFeaturizer.N_MEL for f in out["features"])
     blobs = dict(zip(t["media_id"].to_pylist(), t["bytes"].to_pylist()))
     for _, r in out.head(5).iterrows():
-        pcm, sr = decode_wav(blobs[r["media_id"]])
+        blob = blobs[r["media_id"]]
+        dec = decode_flac if bytes(blob[:4]) == b"fLaC" else decode_wav
+        pcm, sr = dec(blob)
         assert r["n_samples"] == len(pcm)
         want_rms = float(np.sqrt(np.mean(pcm[:, 0].astype(np.float64) ** 2)))
         assert abs(r["rms"] - want_rms) < 1e-5
