@@ -167,6 +167,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def img_clusters(sf):
         return _stage(sf, "clusters")
 
+    def img_hamming_topk(sf):
+        """Binary-code ANN: exact Hamming top-k over the hashes stage
+        for an md5-sampled query set — broadcast queries, per-batch
+        popcount partials, bounded driver merge."""
+        from idf.functions.ann import hamming_topk
+
+        hashes = _stage(sf, "hashes").filter(expr="status == 'ok'")
+        return hamming_topk(hashes, k=5, query_mod=1499)
+
     def img_clusters_incr(sf):
         """Incremental dedup: base run + delta-only decode; the oracle
         is the FULL-recompute SQL, so the gate hash-checks that the
@@ -661,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_hashes": img_hashes,
         "img_clusters": img_clusters,
         "img_clusters_incr": img_clusters_incr,
+        "img_hamming_topk": img_hamming_topk,
         "img_cluster_sizes": img_cluster_sizes,
         "img_pair_dist": img_pair_dist,
         "img_plan": img_plan,
@@ -821,6 +831,27 @@ def img_oracle_sql(sf: str) -> dict[str, str]:
         # same SQL, derived from the full-recompute stage parquet, so a
         # hash match proves incremental == full end to end
         "img_clusters_incr": clusters_sql,
+        # binary-code ANN: md5-sampled queries, exact Hamming ranks;
+        # bit_count(xor()) on BIGINT = popcount of the 64-bit pattern
+        "img_hamming_topk": f"""
+            WITH q AS (
+              SELECT image_id AS query_id, phash AS qh
+              FROM read_parquet('{run}/hashes/*.parquet')
+              WHERE status = 'ok' AND md5_number_lower(image_id) % 1499 = 0
+            ),
+            c AS (
+              SELECT q.query_id, h.image_id,
+                     bit_count(xor(q.qh, h.phash))::BIGINT AS dist
+              FROM q JOIN read_parquet('{run}/hashes/*.parquet') h
+                ON h.status = 'ok' AND h.image_id <> q.query_id
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, image_id
+              ) AS rank FROM c
+            )
+            SELECT query_id, image_id, dist, rank FROM r WHERE rank <= 5
+        """,
         # DuckDB bit_count on BIGINT counts two's-complement bits =
         # popcount64 on the int64 view; pairs deduped after (lo,hi)
         # normalization on both sides

@@ -147,6 +147,108 @@ def cosine_topk(
     return partial.groupby("vec_id").map_groups(_reduce, batch_format="pandas")
 
 
+def hamming_topk(
+    hashes: rd.Dataset,
+    k: int = 5,
+    query_mod: int = 1499,
+    id_col: str = "image_id",
+    code_col: str = "phash",
+) -> rd.Dataset:
+    """Exact Hamming top-k over 64-bit binary codes (pHash ANN — the
+    image-side twin of ``cosine_topk``).
+
+    Queries are the deterministic md5-keyed sample
+    ``md5_low64(id) % query_mod == 0`` (replicable as
+    ``md5_number_lower(id) % mod`` in SQL, so the whole answer is
+    oracle-checkable). Two streaming passes: pass 1 collects only the
+    query codes (sample-sized); pass 2 XOR+popcounts every batch
+    against the broadcast query vector — (nq, batch) int work, no
+    shuffle of the big side — and emits per-batch partial top-k, merged
+    by (dist ASC, id ASC) into ranks 1..k. Output:
+    (query_id, image_id, dist, rank)."""
+    from idf.kernels.hamming import popcount64
+    from idf.kernels.minhash import md5_low64
+    from idf.ops import get_broadcast
+
+    def pick_queries(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].astype(str)
+        m = np.fromiter(
+            (md5_low64(s) % query_mod == 0 for s in ids), dtype=bool, count=len(ids)
+        )
+        return df.loc[m, [id_col, code_col]]
+
+    qparts = [
+        b
+        for b in hashes.map_batches(pick_queries, batch_format="pandas").iter_batches(
+            batch_format="pandas"
+        )
+    ]
+    qrows = (
+        pd.concat(qparts, ignore_index=True)
+        if qparts
+        else pd.DataFrame({id_col: pd.Series(dtype=object), code_col: pd.Series(dtype=np.int64)})
+    ).sort_values(id_col)
+    qids = qrows[id_col].astype(str).to_numpy()
+    qcodes_ref = ray.put(qrows[code_col].to_numpy(np.int64).view(np.uint64))
+
+    def scorer(df: pd.DataFrame) -> pd.DataFrame:
+        qh = get_broadcast(qcodes_ref)
+        h = df[code_col].to_numpy(np.int64).view(np.uint64)
+        vids = df[id_col].astype(str).to_numpy()
+        out = []
+        for qi in range(len(qids)):
+            dist = popcount64(qh[qi] ^ h)
+            mask = vids != qids[qi]  # exclude self
+            d, ids = dist[mask], vids[mask]
+            order = np.lexsort((ids, d))[:k]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qids[qi], "image_id": ids[order], "dist": d[order]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype=object),
+                    "image_id": pd.Series(dtype=object),
+                    "dist": pd.Series(dtype=np.int32),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partial = hashes.map_batches(scorer, batch_format="pandas", batch_size=8192)
+
+    # partials are <= nq*k per input batch: driver merge is bounded by
+    # construction (same discipline as cosine_topk's fast path)
+    parts = [b for b in partial.iter_batches(batch_format="pandas")]
+    allp = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype=object),
+                "image_id": pd.Series(dtype=object),
+                "dist": pd.Series(dtype=np.int32),
+            }
+        )
+    )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "image_id"], kind="mergesort").head(k)
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+
+    if allp.empty:
+        return rd.from_pandas(allp.assign(rank=pd.Series(dtype=np.int64)))
+    out = (
+        allp.sort_values("query_id", kind="mergesort")
+        .groupby("query_id", sort=True, group_keys=False)[allp.columns.tolist()]
+        .apply(_reduce)
+        .reset_index(drop=True)
+        .astype({"dist": np.int64})
+    )
+    return rd.from_pandas(out)
+
+
 def cosine_pairs(embeddings: rd.Dataset, tau: float = 0.9, n_shards: int = 8) -> rd.Dataset:
     """Exact (vec_id_a < vec_id_b, sim >= tau) near-duplicate pairs via a
     bucketed triangle self-join — no driver materialization, no full

@@ -645,3 +645,36 @@ def test_packing_stats_known_values(ray_session):
     )
     got = packing_stats(rd.from_pandas(rows), seq_len=1024)
     assert got.iloc[0].tolist() == [4, 1 + 1024 + 1025, 0 + 1 + 1 + 2]
+
+
+def test_hamming_topk_vs_numpy(ray_session):
+    """Binary-code ANN: exact against a brute-force numpy reference,
+    including the md5 query-sampling rule and (dist, id) tie order."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from idf.functions.ann import hamming_topk
+    from idf.kernels.hamming import popcount64
+    from idf.kernels.minhash import md5_low64
+
+    rng = np.random.default_rng(3)
+    n = 400
+    ids = [f"img{i:04d}" for i in range(n)]
+    codes = rng.integers(0, 2**63, size=n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"image_id": ids, "phash": codes})).repartition(7)
+    mod = 37  # ~n/37 queries
+    got = hamming_topk(ds, k=4, query_mod=mod).to_pandas()
+
+    qs = [s for s in ids if md5_low64(s) % mod == 0]
+    assert qs and set(got["query_id"]) == set(qs)
+    u = codes.view(np.uint64)
+    arr_ids = np.array(ids)
+    for q in qs:
+        d = popcount64(u[arr_ids == q][0] ^ u)
+        m = arr_ids != q
+        order = np.lexsort((arr_ids[m], d[m]))[:4]
+        want = list(arr_ids[m][order])
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert list(g["image_id"]) == want
+        assert list(g["dist"]) == list(d[m][order])
+        assert list(g["rank"]) == [1, 2, 3, 4]
