@@ -507,6 +507,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             od, "o_custkey", cu, "c_custkey", m=1 << 17, k=4, mode="md5"
         )
 
+    def events_hll_users(sf):
+        """HyperLogLog distinct-user sketch: the driver checks the exact
+        integer REGISTER table; the float estimate is pytest-gated."""
+        from idf.functions.sketch import hll_registers
+
+        ev = rd.read_parquet(os.path.join(sf, "events.parquet"), columns=["user_id"])
+        return hll_registers(ev, "user_id", p=8)
+
     def orders_rfm(sf):
         from idf.functions.relational import rfm
 
@@ -706,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_revenue": part_revenue,
         "cust_no_orders": cust_no_orders,
         "cust_bloom_members": cust_bloom_members,
+        "events_hll_users": events_hll_users,
         "orders_rfm": orders_rfm,
         "lineitem_price_quantiles": lineitem_price_quantiles,
         "doc_repetition": lambda sf: repetition_stats(_docs(sf)),
@@ -1442,6 +1451,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM probe JOIN build_pos USING (pos)
             GROUP BY c_custkey HAVING count(DISTINCT i) = 4
             ORDER BY c_custkey
+        """,
+        # HLL register table, exact: bucket = top 8 bits of md5-low64,
+        # rank = leading zeros of the low 56 bits + 1 (bin() length);
+        # max is order-invariant so the partials merge deterministically
+        "events_hll_users": """
+            WITH h AS (
+              SELECT DISTINCT md5_number_lower(user_id::VARCHAR) AS hv
+              FROM events
+            ),
+            parts AS (
+              SELECT hv >> 56 AS bucket,
+                     hv & ((1::UBIGINT << 56) - 1) AS suffix
+              FROM h
+            )
+            SELECT bucket::BIGINT AS bucket,
+                   max(CASE WHEN suffix = 0 THEN 57
+                            ELSE 57 - length(bin(suffix)) END)::BIGINT AS max_rank
+            FROM parts GROUP BY 1 ORDER BY 1
         """,
         # rank = md5 of the event id's decimal string — identical on
         # both sides (hashlib hex == DuckDB md5), so the draw is exactly
