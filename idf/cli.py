@@ -96,13 +96,25 @@ def cmd_synth(args) -> int:
     return 0
 
 
-def _partial_run(images: str, run_dir: str, cfg, upto: str, resume: bool = True) -> int:
+def _partial_run(
+    images: str,
+    run_dir: str,
+    cfg,
+    upto: str,
+    resume: bool = True,
+    base_hashes: str | None = None,
+) -> int:
     """Run pipeline stages up to (and incl.) the named milestone."""
     ray = _ray()
     from idf.pipelines.dedup import run_dedup
 
     man = run_dedup(
-        images, run_dir, cfg, resume=resume, do_apply=(upto == "apply")
+        images,
+        run_dir,
+        cfg,
+        resume=resume,
+        do_apply=(upto == "apply"),
+        base_hashes_dir=base_hashes,
     )
     summary = man.summary()
     milestones = {
@@ -152,7 +164,14 @@ def cmd_apply(args) -> int:
 
 
 def cmd_run(args) -> int:
-    rc = _partial_run(args.images, args.run_dir, _cfg(args), "apply", resume=not args.no_resume)
+    rc = _partial_run(
+        args.images,
+        args.run_dir,
+        _cfg(args),
+        "apply",
+        resume=not args.no_resume,
+        base_hashes=getattr(args, "base_hashes", None),
+    )
     with open(os.path.join(args.run_dir, "manifest.json")) as f:
         man = json.load(f)
     print(json.dumps({k: v.get("rows") for k, v in man["stages"].items()}, indent=1))
@@ -282,6 +301,16 @@ def main(argv=None) -> int:
             default=None,
             help="sampled-decode fraction for --precomputed-phash (default 0.01)",
         )
+        if name == "run":
+            sp.add_argument(
+                "--base-hashes",
+                default=None,
+                help="incremental mode: committed hashes dir of a prior run; "
+                "IMAGES is then only the NEW images (decoded alone), and "
+                "clusters/plan recompute over the union — identical to a "
+                "full recompute. apply partitions only the new images; "
+                "re-apply the base run if keepers may have moved",
+            )
         sp.add_argument("--no-resume", action="store_true")
         sp.set_defaults(fn=fn)
 
